@@ -1,0 +1,40 @@
+"""dqc-tpu: TPU-native differentiable quantum chemistry.
+
+A ground-up JAX/XLA rebuild of the capabilities of diffqc/dqc (reference:
+/root/reference): Hartree-Fock and Kohn-Sham DFT with energies differentiable
+to arbitrary order w.r.t. atom positions, basis exponents/coefficients,
+external electric fields, fractional nuclear charges, and (neural-network) XC
+parameters.
+
+Everything is float64; importing this package enables JAX x64 mode.
+"""
+from __future__ import annotations
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .api.parser import parse_moldesc            # noqa: E402,F401
+from .basis import loadbasis                     # noqa: E402,F401
+from .utils.datastruct import (                  # noqa: E402,F401
+    SpinParam, ValGrad, CGTOBasis, AtomCGTOBasis)
+from .system.mol import Mol                      # noqa: E402,F401
+
+
+def __getattr__(name):
+    # heavier entry points loaded lazily to keep import fast
+    if name in ("HF", "KS"):
+        from .scf import qccalc
+        return getattr(qccalc, name)
+    if name == "get_xc":
+        from .xc import get_xc
+        return get_xc
+    if name in ("hessian_pos", "vibration", "ir_spectrum", "raman_spectrum",
+                "edipole", "equadrupole", "optimal_geometry", "is_orb_min",
+                "lowest_eival_orb_hessian"):
+        from .api import properties
+        return getattr(properties, name)
+    raise AttributeError(f"module 'dqc_tpu' has no attribute {name!r}")
+
+
+__version__ = "0.1.0"

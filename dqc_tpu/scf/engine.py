@@ -1,0 +1,140 @@
+"""HF / KS SCF engines: pure functions of (density matrix, theta).
+
+TPU-native redesign of the reference's engine classes
+(/root/reference/dqc/qccalc/hf.py, ks.py, scf_qccalc.py). The engine owns no
+tensors: `theta` (a pytree of precomputed integrals + grid tables + occ
+weights) is the only state, so jax.grad sees through everything, replacing
+the EditableModule/getparamnames machinery.
+
+State convention: restricted -> dm (nao, nao); polarized -> dm (2, nao, nao).
+Unlike the reference (hybrid functionals NOT wired into KS, ks.py:176-187),
+the KS engine here supports hybrid exact exchange (B3LYP etc.) natively.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .eigh import safe_eigh
+from .orth import LARGE
+
+
+def orthogonal_fock_to_dm(fock, X, keep, occ):
+    """fock: (..., nao, nao); X: (nao, nao) masked orthogonalizer;
+    occ: (..., nao) occupation weights aligned to ascending eigenvalues.
+    Returns (dm, orbital energies, C)."""
+    fp = jnp.einsum("im,...ij,jn->...mn", X, fock, X)
+    # pin masked-out directions high so they are never occupied
+    pin = jnp.where(keep, 0.0, LARGE)
+    fp = fp + jnp.diag(pin)
+    w, u = safe_eigh(fp)
+    c = jnp.einsum("ij,...jk->...ik", X, u)
+    dm = jnp.einsum("...ik,...k,...jk->...ij", c, occ, c)
+    return dm, w, c
+
+
+class HFEngine:
+    """Restricted/unrestricted Hartree-Fock.
+
+    theta keys: hcore (nao,nao), eri (nao,)*4, X, keep, occ, enuc.
+    Parity: reference _HFEngine (hf.py:115-247)."""
+
+    def __init__(self, polarized: bool = False):
+        self.polarized = polarized
+
+    # --- coulomb/exchange ---
+    @staticmethod
+    def _j(eri, dm_tot):
+        return jnp.einsum("ijkl,kl->ij", eri, dm_tot)
+
+    @staticmethod
+    def _k(eri, dm):
+        return jnp.einsum("ikjl,...kl->...ij", eri, dm)
+
+    def dm_tot(self, dm):
+        return dm.sum(axis=0) if self.polarized else dm
+
+    def fock(self, dm, theta):
+        eri = theta["eri"]
+        j = self._j(eri, self.dm_tot(dm))
+        k = self._k(eri, dm)
+        if self.polarized:
+            return theta["hcore"][None] + j[None] - k
+        return theta["hcore"] + j - 0.5 * k
+
+    def dm_from_fock(self, fock, theta):
+        dm, _, _ = orthogonal_fock_to_dm(fock, theta["X"], theta["keep"],
+                                         theta["occ"])
+        return dm
+
+    def step(self, dm, theta):
+        return self.dm_from_fock(self.fock(dm, theta), theta)
+
+    def energy(self, dm, theta):
+        eri = theta["eri"]
+        dmt = self.dm_tot(dm)
+        e1 = jnp.einsum("ij,ij->", theta["hcore"], dmt)
+        ej = 0.5 * jnp.einsum("ij,ij->", self._j(eri, dmt), dmt)
+        k = self._k(eri, dm)
+        if self.polarized:
+            ek = -0.5 * jnp.einsum("sij,sij->", k, dm)
+        else:
+            ek = -0.25 * jnp.einsum("ij,ij->", k, dm)
+        return e1 + ej + ek + theta["enuc"]
+
+    # --- DIIS plumbing (solver iterates on the Fock matrix) ---
+    def diis_err(self, fock, dm, theta):
+        s, X = theta["ovlp"], theta["X"]
+        fds = jnp.einsum("...ij,...jk,kl->...il", fock, dm, s)
+        comm = fds - jnp.swapaxes(fds, -1, -2)
+        return jnp.einsum("im,...ij,jn->...mn", X, comm, X)
+
+
+class KSEngine(HFEngine):
+    """Restricted/unrestricted Kohn-Sham with LDA/GGA/MGGA + hybrid mixing.
+
+    Extra theta keys: grid tables under theta['grid'] (ao values etc., built
+    by dqc_tpu.scf.hamilton.setup_grid_theta) and the XC object is held
+    statically on the engine. Parity: reference _KSEngine (ks.py:103-227),
+    plus hybrid exact exchange which the reference lacks.
+    """
+
+    def __init__(self, xc, polarized: bool = False):
+        super().__init__(polarized)
+        self.xc = xc
+
+    def fock(self, dm, theta):
+        from ..xc.integrate import vxc_matrix
+        eri = theta["eri"]
+        j = self._j(eri, self.dm_tot(dm))
+        vxc = vxc_matrix(self.xc, dm, theta["grid"], self.polarized)
+        f = theta["hcore"] + j
+        hyb = self.xc.exx_fraction
+        if self.polarized:
+            f = f[None] + vxc
+            if hyb != 0.0:
+                f = f - hyb * self._k(eri, dm)
+        else:
+            f = f + vxc
+            if hyb != 0.0:
+                f = f - 0.5 * hyb * self._k(eri, dm)
+        return f
+
+    def energy(self, dm, theta):
+        from ..xc.integrate import exc_energy
+        eri = theta["eri"]
+        dmt = self.dm_tot(dm)
+        e1 = jnp.einsum("ij,ij->", theta["hcore"], dmt)
+        ej = 0.5 * jnp.einsum("ij,ij->", self._j(eri, dmt), dmt)
+        exc = exc_energy(self.xc, dm, theta["grid"], self.polarized)
+        e = e1 + ej + exc + theta["enuc"]
+        hyb = self.xc.exx_fraction
+        if hyb != 0.0:
+            k = self._k(eri, dm)
+            if self.polarized:
+                e = e - 0.5 * hyb * jnp.einsum("sij,sij->", k, dm)
+            else:
+                e = e - 0.25 * hyb * jnp.einsum("ij,ij->", k, dm)
+        return e

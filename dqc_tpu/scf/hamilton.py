@@ -1,0 +1,56 @@
+"""Theta builders: all integral / grid tensors the SCF engines consume.
+
+This is the functional analog of the reference's HamiltonCGTO.build()/
+setup_grid() (/root/reference/dqc/hamilton/hcgto.py:95-186): a pure function
+from the differentiable params pytree to the integral tensors, so JAX AD
+gives derivatives of everything w.r.t. positions, exponents, coefficients,
+external fields, and fractional charges.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..ops import integrals as I
+from ..ops.eri import eri_dense
+from ..utils.safeops import safe_cdist
+from .orth import orthogonalizer
+
+
+def nuclear_repulsion(atomzs, atompos):
+    """E_nn = sum_{i<j} Z_i Z_j / r_ij (parity: reference mol.py:252-260)."""
+    z = jnp.asarray(atomzs)
+    r = safe_cdist(atompos, atompos, add_diag_eps=True)
+    zz = z[:, None] * z[None, :] / r
+    return 0.5 * (jnp.sum(zz) - jnp.sum(jnp.diagonal(zz)))
+
+
+def build_core_theta(meta, params, atomzs, *, efield=None,
+                     with_eri: bool = True, ovlp_threshold: float = 1e-9):
+    """Builds the SCF theta dict (hcore, ovlp, X/keep, eri, enuc).
+
+    efield: optional (3,) uniform electric field; adds -E.(r) coupling
+    (lowest multipole of the reference's efield handling, hcgto.py:117-125).
+    """
+    ovlp = I.overlap(meta, params)
+    kin = I.kinetic(meta, params)
+    nuc = I.nuclattr(meta, params, atomzs)
+    hcore = kin + nuc
+    if efield is not None:
+        dip = jnp.stack([I.multipole(meta, params, p)
+                         for p in ((1, 0, 0), (0, 1, 0), (0, 0, 1))])
+        # electrons have charge -1: H' = +E . r_e  (energy -mu.E with
+        # mu_e = -sum r_e); matches reference convention (hcgto.py:117-125)
+        hcore = hcore + jnp.einsum("d,dij->ij", jnp.asarray(efield), dip)
+    X, keep = orthogonalizer(ovlp, ovlp_threshold)
+    theta = {
+        "hcore": hcore,
+        "ovlp": ovlp,
+        "X": X,
+        "keep": keep,
+        "enuc": nuclear_repulsion(atomzs, params["atompos"]),
+    }
+    if with_eri:
+        theta["eri"] = eri_dense(meta, params)
+    return theta

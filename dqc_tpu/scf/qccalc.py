@@ -1,0 +1,155 @@
+"""User-facing SCF drivers: HF and KS.
+
+Parity with the reference's qccalc layer (/root/reference/dqc/qccalc/):
+HF(mol).run() -> qc; qc.energy(), qc.aodm(), qc.dm2energy(dm).
+
+TPU-native: `run()` executes one jit-compiled pure function
+params -> (E, dm*) built from the engine; `energy_fn()` exposes that pure
+function for jax.grad/hessian — this replaces the reference's reliance on
+xitorch implicit-diff solvers threaded through object state.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.datastruct import SpinParam
+from .engine import HFEngine, KSEngine
+from .fixed_point import SCFOptions, diis_solve, implicit_fixed_point
+from .hamilton import build_core_theta
+
+
+def _occ_array(mol, polarized):
+    w = mol.get_orb_weights(polarized)
+    if isinstance(w, SpinParam):
+        return jnp.stack([w.u, w.d], axis=0)
+    return w
+
+
+class SCF_QCCalc:
+    """Shared driver; engine supplied by HF/KS front-ends."""
+
+    def __init__(self, mol, engine, *, build_theta, opts: SCFOptions):
+        self.mol = mol
+        self.engine = engine
+        self._build_theta = build_theta   # params -> theta dict
+        self.opts = opts
+        self._dm = None
+        self._energy = None
+        self._has_run = False
+
+    # --- the pure functional core -----------------------------------------
+    def _solver(self, theta, dm0):
+        eng = self.engine
+        opts = self.opts
+
+        def step_and_err(fock):
+            dm = eng.dm_from_fock(fock, theta)
+            f_new = eng.fock(dm, theta)
+            err = eng.diis_err(f_new, dm, theta)
+            return f_new, err
+
+        f0 = eng.fock(dm0, theta)
+        f_star, _, _ = diis_solve(step_and_err, f0, opts)
+        return eng.dm_from_fock(f_star, theta)
+
+    def solve_dm(self, params):
+        """params -> converged density matrix (implicit-diff aware)."""
+        theta = self._build_theta(params)
+        eng = self.engine
+        # core-hamiltonian ("1e") initial guess (reference scf_qccalc.py:85-93)
+        shape = ((2, self.mol.meta.nao, self.mol.meta.nao)
+                 if eng.polarized else (self.mol.meta.nao, self.mol.meta.nao))
+        dm0 = jnp.zeros(shape, dtype=jnp.float64)
+
+        def step(dm, th):
+            return eng.step(dm, th)
+
+        dm_star = implicit_fixed_point(step, self._solver, theta, dm0)
+        return dm_star, theta
+
+    def energy_fn(self, params):
+        """Pure: params -> total energy (exact gradients through SCF)."""
+        dm, theta = self.solve_dm(params)
+        return self.engine.energy(dm, theta)
+
+    # --- user API ----------------------------------------------------------
+    def run(self):
+        fn = jax.jit(lambda p: self.solve_dm(p))
+        self._dm, self._theta = fn(self._all_params())
+        self._energy = self.engine.energy(self._dm, self._theta)
+        self._has_run = True
+        return self
+
+    def _all_params(self):
+        return self.mol.params
+
+    def energy(self):
+        assert self._has_run, "call .run() first"
+        return self._energy
+
+    def aodm(self):
+        assert self._has_run, "call .run() first"
+        dm = self._dm
+        if self.engine.polarized:
+            return SpinParam(u=dm[0], d=dm[1])
+        return dm
+
+    def dm2energy(self, dm):
+        if isinstance(dm, SpinParam):
+            dm = jnp.stack([dm.u, dm.d], axis=0)
+        theta = getattr(self, "_theta", None)
+        if theta is None:
+            theta = self._build_theta(self._all_params())
+        return self.engine.energy(dm, theta)
+
+    def get_system(self):
+        return self.mol
+
+
+def HF(mol, *, restricted: Optional[bool] = None,
+       opts: Optional[SCFOptions] = None) -> SCF_QCCalc:
+    """Hartree-Fock driver (parity: reference dqc.HF, hf.py:31-69)."""
+    polarized = mol.polarized if restricted is None else (not restricted)
+    engine = HFEngine(polarized=polarized)
+    occ = _occ_array(mol, polarized)
+    atomzs = mol.atomzs
+
+    def build_theta(params):
+        theta = build_core_theta(mol.meta, params, atomzs,
+                                 efield=mol.efield)
+        theta["occ"] = occ
+        return theta
+
+    return SCF_QCCalc(mol, engine, build_theta=build_theta,
+                      opts=opts or SCFOptions())
+
+
+def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
+       opts: Optional[SCFOptions] = None) -> SCF_QCCalc:
+    """Kohn-Sham driver (parity: reference dqc.KS, ks.py:21-100), with
+    hybrid-functional support the reference lacks (SURVEY §2.7)."""
+    from ..xc import get_xc
+    from ..xc.integrate import setup_grid_theta
+    if isinstance(xc, str):
+        xc = get_xc(xc)
+    polarized = mol.polarized if restricted is None else (not restricted)
+    engine = KSEngine(xc, polarized=polarized)
+    occ = _occ_array(mol, polarized)
+    atomzs = mol.atomzs
+    grid = mol.setup_grid()
+
+    def build_theta(params):
+        theta = build_core_theta(mol.meta, params, atomzs,
+                                 efield=mol.efield)
+        theta["occ"] = occ
+        theta["grid"] = setup_grid_theta(mol.meta, params, grid,
+                                         family=xc.family)
+        return theta
+
+    return SCF_QCCalc(mol, engine, build_theta=build_theta,
+                      opts=opts or SCFOptions())

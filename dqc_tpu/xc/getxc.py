@@ -1,0 +1,89 @@
+"""XC resolver: libxc-style names/expressions -> pure-JAX functionals.
+
+Parity with the reference's get_xc (/root/reference/dqc/api/getxc.py) —
+strings like "lda_x", "gga_x_pbe+gga_c_pbe", "0.25*hf+0.75*gga_x_b88" —
+plus named hybrids (b3lyp/b3lyp5/pbe0) which the reference cannot run at all
+(hybrids are not wired into its KS engine, SURVEY §2.7).
+"""
+from __future__ import annotations
+
+import re
+
+from .base import BaseXC, HFExchangeXC
+from .lda import LDA_X, LDA_C_PW, LDA_C_VWN5, LDA_C_VWN3
+from .gga import GGA_X_PBE, GGA_C_PBE, GGA_X_B88, GGA_C_LYP
+
+_REGISTRY = {
+    "lda_x": LDA_X,
+    "lda_c_pw": LDA_C_PW,
+    "lda_c_pw_mod": LDA_C_PW,
+    "lda_c_vwn": LDA_C_VWN5,
+    "lda_c_vwn5": LDA_C_VWN5,
+    "lda_c_vwn_rpa": LDA_C_VWN3,
+    "lda_c_vwn3": LDA_C_VWN3,
+    "gga_x_pbe": GGA_X_PBE,
+    "gga_c_pbe": GGA_C_PBE,
+    "gga_x_b88": GGA_X_B88,
+    "gga_c_lyp": GGA_C_LYP,
+    "hf": HFExchangeXC,
+}
+
+
+def _mgga_registry():
+    from .mgga import MGGA_X_SCAN, MGGA_C_SCAN
+    return {"mgga_x_scan": MGGA_X_SCAN, "mgga_c_scan": MGGA_C_SCAN}
+
+
+def _named_composites():
+    return {
+        # Gaussian-convention B3LYP (VWN3/RPA) — libxc hyb_gga_xc_b3lyp
+        "b3lyp": lambda: (0.2 * HFExchangeXC() + 0.08 * LDA_X()
+                          + 0.72 * GGA_X_B88() + 0.19 * LDA_C_VWN3()
+                          + 0.81 * GGA_C_LYP()),
+        "b3lyp5": lambda: (0.2 * HFExchangeXC() + 0.08 * LDA_X()
+                           + 0.72 * GGA_X_B88() + 0.19 * LDA_C_VWN5()
+                           + 0.81 * GGA_C_LYP()),
+        "pbe0": lambda: (0.25 * HFExchangeXC() + 0.75 * GGA_X_PBE()
+                         + GGA_C_PBE()),
+        "pbe": lambda: GGA_X_PBE() + GGA_C_PBE(),
+        "blyp": lambda: GGA_X_B88() + GGA_C_LYP(),
+        "svwn": lambda: LDA_X() + LDA_C_VWN5(),
+        "lda": lambda: LDA_X() + LDA_C_PW(),
+    }
+
+
+def get_libxc(name: str) -> BaseXC:
+    key = name.strip().lower()
+    if key in _REGISTRY:
+        return _REGISTRY[key]()
+    if key.startswith("mgga"):
+        reg = _mgga_registry()
+        if key in reg:
+            return reg[key]()
+    raise NotImplementedError(f"XC functional {name!r} not implemented; "
+                              f"available: {sorted(_REGISTRY)} + mgga_[xc]_scan")
+
+
+def get_xc(expr) -> BaseXC:
+    """Resolve an XC spec: BaseXC instance, name, or +/- scaled expression."""
+    if isinstance(expr, BaseXC):
+        return expr
+    s = expr.strip().lower()
+    named = _named_composites()
+    if s in named:
+        return named[s]()
+    # expression: terms like "0.25*hf + 0.75*gga_x_b88" or "lda_x+lda_c_pw"
+    out = None
+    for term in s.split("+"):
+        term = term.strip()
+        if not term:
+            continue
+        m = re.match(r"^([0-9.eE+-]+)\s*\*\s*([a-z0-9_]+)$", term)
+        if m:
+            xc = float(m.group(1)) * get_libxc(m.group(2))
+        else:
+            xc = get_libxc(term)
+        out = xc if out is None else out + xc
+    if out is None:
+        raise ValueError(f"Empty XC expression: {expr!r}")
+    return out

@@ -1,0 +1,131 @@
+"""GGA functionals in pure JAX: PBE (x,c), B88, LYP.
+
+Replaces libxc's gga_* used by the reference via pylibxc. Formulas from:
+Perdew, Burke, Ernzerhof PRL 77, 3865 (1996); Becke PRA 38, 3098 (1988);
+Lee, Yang, Parr PRB 37, 785 (1988) in the Miehlich form (CPL 157, 200
+(1989)).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.safeops import safepow
+from .base import BaseXC
+from .lda import LDA_C_PW, _RHO_EPS, _rs, _zeta, _fzeta
+
+_SIG_EPS = 1e-40
+
+
+class GGA_X_PBE(BaseXC):
+    family = 2
+    _KAPPA = 0.8040
+    _MU = 0.2195149727645171
+
+    def _e_unpol(self, rho, sigma):
+        # ex_unif * F(s); s^2 = sigma / (4 (3pi^2)^{2/3} n^{8/3})
+        kf = (3.0 * np.pi ** 2) ** (1.0 / 3.0) * safepow(rho, 1.0 / 3.0)
+        ex_lda = -3.0 / (4.0 * np.pi) * kf * rho
+        s2 = jnp.maximum(sigma, _SIG_EPS) / (4.0 * kf * kf
+                                             * jnp.maximum(rho, _RHO_EPS) ** 2)
+        F = 1.0 + self._KAPPA - self._KAPPA / (1.0 + self._MU * s2 / self._KAPPA)
+        return ex_lda * F
+
+    def edens_unpol(self, rho, sigma=None, **kw):
+        return self._e_unpol(rho, sigma)
+
+    def edens_pol(self, rho_u, rho_d, sigma_uu=None, sigma_ud=None,
+                  sigma_dd=None, **kw):
+        # exact spin scaling: Ex[nu,nd] = (Ex[2nu] + Ex[2nd]) / 2
+        return 0.5 * (self._e_unpol(2.0 * rho_u, 4.0 * sigma_uu)
+                      + self._e_unpol(2.0 * rho_d, 4.0 * sigma_dd))
+
+
+class GGA_C_PBE(BaseXC):
+    family = 2
+    _BETA = 0.06672455060314922
+    _GAMMA = (1.0 - np.log(2.0)) / np.pi ** 2
+
+    def __init__(self):
+        self._pw = LDA_C_PW()
+
+    def _h(self, n, sigma, z, ec_lda_per_n):
+        phi = 0.5 * (safepow(1.0 + z, 2.0 / 3.0) + safepow(1.0 - z, 2.0 / 3.0))
+        kf = (3.0 * np.pi ** 2 * jnp.maximum(n, _RHO_EPS)) ** (1.0 / 3.0)
+        ks = jnp.sqrt(4.0 * kf / np.pi)
+        t2 = jnp.maximum(sigma, _SIG_EPS) / (4.0 * phi * phi * ks * ks
+                                             * jnp.maximum(n, _RHO_EPS) ** 2)
+        phi3 = phi ** 3
+        bg = self._BETA / self._GAMMA
+        expo = jnp.exp(-ec_lda_per_n / (self._GAMMA * phi3))
+        A = bg / jnp.maximum(expo - 1.0, 1e-30)
+        at2 = A * t2
+        num = 1.0 + at2
+        den = 1.0 + at2 + at2 * at2
+        return self._GAMMA * phi3 * jnp.log1p(bg * t2 * num / den)
+
+    def edens_pol(self, rho_u, rho_d, sigma_uu=None, sigma_ud=None,
+                  sigma_dd=None, **kw):
+        n = rho_u + rho_d
+        z = _zeta(rho_u, rho_d)
+        sigma = sigma_uu + 2.0 * sigma_ud + sigma_dd
+        ec_lda = self._pw.edens_pol(rho_u, rho_d) / jnp.maximum(n, _RHO_EPS)
+        return n * (ec_lda + self._h(n, sigma, z, ec_lda))
+
+    def edens_unpol(self, rho, sigma=None, **kw):
+        ec_lda = self._pw.edens_unpol(rho) / jnp.maximum(rho, _RHO_EPS)
+        z = jnp.zeros_like(rho)
+        return rho * (ec_lda + self._h(rho, sigma, z, ec_lda))
+
+
+class GGA_X_B88(BaseXC):
+    family = 2
+    _BETA = 0.0042
+
+    def _e_spin(self, ns, sigma_ss):
+        # per-spin: -Cx (2ns)^{4/3}/2 ... use the standard per-spin form:
+        # e_s = ex_lda(ns) - beta ns^{4/3} x^2 / (1 + 6 beta x asinh x)
+        n43 = safepow(ns, 4.0 / 3.0, _RHO_EPS)
+        x = jnp.sqrt(jnp.maximum(sigma_ss, _SIG_EPS)) / n43
+        cx = (3.0 / 2.0) * (3.0 / (4.0 * np.pi)) ** (1.0 / 3.0)
+        e_lda = -cx * n43
+        corr = -self._BETA * n43 * x * x / (1.0 + 6.0 * self._BETA * x
+                                            * jnp.arcsinh(x))
+        return e_lda + corr
+
+    def edens_pol(self, rho_u, rho_d, sigma_uu=None, sigma_ud=None,
+                  sigma_dd=None, **kw):
+        return self._e_spin(rho_u, sigma_uu) + self._e_spin(rho_d, sigma_dd)
+
+    def edens_unpol(self, rho, sigma=None, **kw):
+        return 2.0 * self._e_spin(0.5 * rho, 0.25 * sigma)
+
+
+class GGA_C_LYP(BaseXC):
+    family = 2
+    _A, _B, _C, _D = 0.04918, 0.132, 0.2533, 0.349
+    _CF = 0.3 * (3.0 * np.pi ** 2) ** (2.0 / 3.0)
+
+    def edens_pol(self, rho_u, rho_d, sigma_uu=None, sigma_ud=None,
+                  sigma_dd=None, **kw):
+        a, b, c, d = self._A, self._B, self._C, self._D
+        n = jnp.maximum(rho_u + rho_d, _RHO_EPS)
+        nu = jnp.maximum(rho_u, 0.0)
+        nd = jnp.maximum(rho_d, 0.0)
+        n13 = safepow(n, 1.0 / 3.0)
+        icbrt = 1.0 / n13
+        denom = 1.0 + d * icbrt
+        omega = jnp.exp(-c * icbrt) / denom * safepow(n, -11.0 / 3.0, _RHO_EPS)
+        delta = c * icbrt + d * icbrt / denom
+        sigma = sigma_uu + 2.0 * sigma_ud + sigma_dd
+        nund = nu * nd
+        term1 = -4.0 * a * nund / (n * denom)
+        t_cf = 2.0 ** (11.0 / 3.0) * self._CF * (safepow(nu, 8.0 / 3.0)
+                                                 + safepow(nd, 8.0 / 3.0))
+        t_ab = (47.0 / 18.0 - 7.0 * delta / 18.0) * sigma \
+            - (5.0 / 2.0 - delta / 18.0) * (sigma_uu + sigma_dd) \
+            - (delta - 11.0) / 9.0 * (nu * sigma_uu + nd * sigma_dd) / n
+        t_rest = (-2.0 / 3.0 * n * n * sigma
+                  + (2.0 / 3.0 * n * n - nu * nu) * sigma_dd
+                  + (2.0 / 3.0 * n * n - nd * nd) * sigma_uu)
+        return term1 - a * b * omega * (nund * (t_cf + t_ab) + t_rest)
