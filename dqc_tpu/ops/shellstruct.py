@@ -85,6 +85,15 @@ class BasisMeta:
         return max(c.l for c in self.classes)
 
 
+# BasisMeta is static metadata: register as an empty pytree (all aux) so it
+# can ride inside theta dicts through jit without being traced.
+jax.tree_util.register_pytree_node(
+    BasisMeta,
+    lambda m: ((), m),
+    lambda aux, ch: aux,
+)
+
+
 def pack_basis(atombases: Sequence[AtomCGTOBasis]):
     """Pack atom bases into (BasisMeta, params dict).
 

@@ -62,21 +62,27 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         fhist = fhist.at[slot].set(f_new)
         ehist = ehist.at[slot].set(e_new)
         nfill = jnp.minimum(nfill + 1, H)
-        # DIIS extrapolation over filled slots
+        # DIIS extrapolation over filled slots (uniform scaling keeps the
+        # constrained least-squares solution exact)
         filled = (jnp.arange(H) < nfill)
         B = ehist @ ehist.T
-        scale = jnp.sqrt(jnp.maximum(jnp.diagonal(B), 1e-300))
-        Bn = B / (scale[:, None] * scale[None, :])
+        scale = jnp.maximum(jnp.max(jnp.abs(B) * filled[:, None]
+                                    * filled[None, :]), 1e-300)
+        Bn = B / scale
         mask2 = filled[:, None] & filled[None, :]
         Bn = jnp.where(mask2, Bn, jnp.where(
             jnp.eye(H, dtype=bool), 1.0, 0.0))
         ones = jnp.where(filled, 1.0, 0.0)
         A = jnp.zeros((H + 1, H + 1), dtype=ff.dtype)
-        A = A.at[:H, :H].set(Bn + 1e-14 * jnp.eye(H))
+        A = A.at[:H, :H].set(Bn)
         A = A.at[:H, H].set(ones)
         A = A.at[H, :H].set(ones)
         rhs = jnp.zeros((H + 1,), dtype=ff.dtype).at[H].set(1.0)
-        c = jnp.linalg.solve(A, rhs)[:H] * filled
+        # symmetric-eigh solve: TPU implements f64 eigh but not f64 LU
+        ew, ev = jnp.linalg.eigh(A)
+        cutoff = 1e-14 * jnp.max(jnp.abs(ew))
+        inv_w = jnp.where(jnp.abs(ew) > cutoff, 1.0 / ew, 0.0)
+        c = (ev @ (inv_w * (ev.T @ rhs)))[:H] * filled
         f_diis = c @ fhist
         use_diis = (it + 1 >= opts.diis_start)
         ff_next = jnp.where(use_diis, f_diis, f_new)

@@ -79,9 +79,10 @@ class SCF_QCCalc:
 
     # --- user API ----------------------------------------------------------
     def run(self):
-        fn = jax.jit(lambda p: self.solve_dm(p))
-        self._dm, self._theta = fn(self._all_params())
-        self._energy = self.engine.energy(self._dm, self._theta)
+        def _go(p):
+            dm, theta = self.solve_dm(p)
+            return dm, theta, self.engine.energy(dm, theta)
+        self._dm, self._theta, self._energy = jax.jit(_go)(self._all_params())
         self._has_run = True
         return self
 

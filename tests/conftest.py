@@ -1,0 +1,16 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64.
+
+Mirrors the reference's test strategy (SURVEY.md §4) but with JAX idioms:
+multi-chip sharding is validated on a virtual CPU mesh.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
