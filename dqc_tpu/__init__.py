@@ -10,9 +10,18 @@ Everything is float64; importing this package enables JAX x64 mode.
 """
 from __future__ import annotations
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# persistent XLA compilation cache (compiles dominate on small hosts; the
+# cache also covers the TPU backend). Override dir via DQC_TPU_XLA_CACHE.
+_cache_dir = _os.environ.get("DQC_TPU_XLA_CACHE", "/tmp/dqc_tpu_xla_cache")
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from .api.parser import parse_moldesc            # noqa: E402,F401
 from .basis import loadbasis                     # noqa: E402,F401

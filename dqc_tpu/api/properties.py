@@ -1,0 +1,225 @@
+"""Molecular properties via automatic differentiation of the SCF energy.
+
+Parity with the reference (/root/reference/dqc/api/properties.py):
+hessian_pos, vibration, ir_spectrum, raman_spectrum, edipole, equadrupole,
+is_orb_min, lowest_eival_orb_hessian, optimal_geometry.
+
+TPU-native: every property is a jax.jacfwd/jacrev composition over the pure
+energy function qc.energy_fn(params) whose gradients flow through the SCF
+fixed point via the implicit-function custom_vjp — replacing the reference's
+row-by-row torch.autograd.grad loops (properties.py:510-528).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.periodictable import get_atom_mass
+from ..utils.units import FREQ_AU_TO_CM1
+
+__all__ = ["hessian_pos", "vibration", "ir_spectrum", "raman_spectrum",
+           "edipole", "equadrupole", "optimal_geometry",
+           "lowest_eival_orb_hessian", "is_orb_min"]
+
+
+def _efn(qc):
+    """params -> energy, pure."""
+    return qc.energy_fn
+
+
+def _params(qc):
+    return qc._all_params()
+
+
+def _wrt_atompos(qc):
+    p0 = _params(qc)
+
+    def fn(flat_pos):
+        p = dict(p0)
+        p = jax.tree_util.tree_map(lambda x: x, p0)
+        p["basis"] = dict(p0["basis"])
+        p["basis"]["atompos"] = flat_pos.reshape(-1, 3)
+        return _efn(qc)(p)
+    return fn, p0["basis"]["atompos"].reshape(-1)
+
+
+def hessian_pos(qc):
+    """d2E/dpos2: (natoms*3, natoms*3). Parity: reference properties.py:343."""
+    fn, x0 = _wrt_atompos(qc)
+    return jax.hessian(fn)(x0)
+
+
+def _mass_vector(qc):
+    zs = qc.get_system().zs_int
+    return jnp.asarray(np.repeat([get_atom_mass(z) for z in zs], 3))
+
+
+def vibration(qc, freq_unit: str = "cm^-1"):
+    """Harmonic frequencies + normal modes from the mass-weighted Hessian.
+    Returns (freqs (natoms*3,) descending, modes (natoms*3, nmodes)).
+    Parity: reference properties.py:358-380."""
+    hess = hessian_pos(qc)
+    m = _mass_vector(qc)
+    mw = hess / jnp.sqrt(m)[:, None] / jnp.sqrt(m)[None, :]
+    w, v = jnp.linalg.eigh(mw)
+    # omega = sqrt(w); negative eigenvalues -> imaginary, reported negative
+    freqs_au = jnp.sign(w) * jnp.sqrt(jnp.abs(w))
+    freqs = freqs_au * FREQ_AU_TO_CM1 if freq_unit in ("cm^-1", "cm-1") \
+        else freqs_au
+    order = jnp.argsort(-freqs)
+    return freqs[order], v[:, order]
+
+
+def edipole(qc, unit: str = "a.u."):
+    """Electric dipole = -dE/defield (+ ionic part is included because E_nn
+    does not depend on the field but the nuclei-field energy enters through
+    the energy expression used by the reference; here we add it explicitly).
+    Parity: reference properties.py:438-460."""
+    p0 = _params(qc)
+
+    def fn(ef):
+        p = jax.tree_util.tree_map(lambda x: x, p0)
+        p["efield"] = ef
+        return _efn(qc)(p)
+    mu_elec = -jax.grad(fn)(p0["efield"])
+    pos = p0["basis"]["atompos"]
+    zs = p0["atomzs"]
+    mu_nuc = jnp.einsum("a,ad->d", zs, pos)
+    mu = mu_elec + mu_nuc
+    from ..utils.units import AU_TO_DEBYE
+    return mu * AU_TO_DEBYE if unit.lower() == "debye" else mu
+
+
+def equadrupole(qc, unit: str = "a.u."):
+    """Electric quadrupole moment (second moment form, a.u.).
+    Parity: reference properties.py:462-484."""
+    p0 = _params(qc)
+
+    def fn(efg):
+        p = jax.tree_util.tree_map(lambda x: x, p0)
+        p["efield_grad"] = efg
+        return _efn(qc)(p)
+    q_elec = -2.0 * jax.grad(fn)(p0["efield_grad"])
+    pos = p0["basis"]["atompos"]
+    zs = p0["atomzs"]
+    q_nuc = jnp.einsum("a,ad,ae->de", zs, pos, pos)
+    return q_elec + q_nuc
+
+
+def ir_spectrum(qc, freq_unit: str = "cm^-1"):
+    """(freqs, IR intensities |dmu/dQ|^2) per normal mode.
+    Parity: reference properties.py:382-402."""
+    freqs, modes = vibration(qc, freq_unit)
+    p0 = _params(qc)
+
+    def dip_of_pos(flat_pos):
+        p = jax.tree_util.tree_map(lambda x: x, p0)
+        p["basis"] = dict(p0["basis"])
+        p["basis"]["atompos"] = flat_pos.reshape(-1, 3)
+
+        def fn_e(ef):
+            q = jax.tree_util.tree_map(lambda x: x, p)
+            q["efield"] = ef
+            return _efn(qc)(q)
+        mu_e = -jax.grad(fn_e)(p0["efield"])
+        zs = p0["atomzs"]
+        return mu_e + jnp.einsum("a,ad->d", zs, flat_pos.reshape(-1, 3))
+
+    x0 = p0["basis"]["atompos"].reshape(-1)
+    dmu_dx = jax.jacfwd(dip_of_pos)(x0)              # (3, 3N)
+    m = _mass_vector(qc)
+    dmu_dq = dmu_dx @ (modes / jnp.sqrt(m)[:, None])  # (3, nmodes)
+    inten = jnp.sum(dmu_dq ** 2, axis=0)
+    return freqs, inten
+
+
+def raman_spectrum(qc, freq_unit: str = "cm^-1"):
+    """(freqs, Raman activities from dalpha/dQ).
+    Parity: reference properties.py:404-436."""
+    freqs, modes = vibration(qc, freq_unit)
+    p0 = _params(qc)
+
+    def alpha_of_pos(flat_pos):
+        p = jax.tree_util.tree_map(lambda x: x, p0)
+        p["basis"] = dict(p0["basis"])
+        p["basis"]["atompos"] = flat_pos.reshape(-1, 3)
+
+        def fn_e(ef):
+            q = jax.tree_util.tree_map(lambda x: x, p)
+            q["efield"] = ef
+            return _efn(qc)(q)
+        # polarizability = -d2E/defield2
+        return -jax.hessian(fn_e)(p0["efield"])      # (3,3)
+
+    x0 = p0["basis"]["atompos"].reshape(-1)
+    da_dx = jax.jacfwd(alpha_of_pos)(x0)             # (3,3,3N)
+    m = _mass_vector(qc)
+    da_dq = jnp.einsum("deq,qm->dem", da_dx, modes / jnp.sqrt(m)[:, None])
+    # standard Raman activity: 45 a'^2 + 7 gamma'^2
+    a_p = jnp.trace(da_dq, axis1=0, axis2=1) / 3.0
+    diff = da_dq - a_p[None, None, :] * jnp.eye(3)[:, :, None]
+    gamma2 = 1.5 * jnp.einsum("dem,dem->m", diff, diff)
+    activity = 45.0 * a_p ** 2 + 7.0 * gamma2
+    return freqs, activity
+
+
+def optimal_geometry(qc, maxiter: int = 200, tol: float = 1e-6):
+    """Gradient-based geometry optimization (BFGS on the SCF energy with
+    exact implicit-diff forces). Returns optimized atompos (natoms, 3).
+    Parity: reference properties.py:486-506 (xitorch minimize there)."""
+    fn, x0 = _wrt_atompos(qc)
+    from jax.scipy.optimize import minimize as jmin
+    res = jmin(fn, x0, method="BFGS", options={"maxiter": maxiter,
+                                               "gtol": tol})
+    return res.x.reshape(-1, 3)
+
+
+def lowest_eival_orb_hessian(qc):
+    """Lowest eigenvalue of the electronic (orbital-rotation) Hessian of the
+    converged SCF solution — negative means saddle point / instability.
+    Parity: reference properties.py:237-319.
+
+    Implemented over the occupied-virtual rotation parameters kappa:
+    dm(kappa) = C exp(kappa) occupation exp(-kappa) C^T."""
+    import jax.numpy as jnp
+    params = _params(qc)
+    theta = qc._build_theta(params)
+    eng = qc.engine
+    dm = qc._dm
+    # orbitals at solution
+    from ..scf.engine import orthogonal_fock_to_dm
+    fock = eng.fock(dm, theta)
+    _, w, c = orthogonal_fock_to_dm(fock, theta["X"], theta["keep"],
+                                    theta["occ"])
+    occ = theta["occ"]
+
+    def dm_of_kappa(kappa):
+        # antisymmetric generator in MO space
+        if eng.polarized:
+            k = 0.5 * (kappa - jnp.swapaxes(kappa, -1, -2))
+            u = jax.scipy.linalg.expm(k)
+            cr = jnp.einsum("...ij,...jk->...ik", c, u)
+            return jnp.einsum("...ik,...k,...jk->...ij", cr, occ, cr)
+        k = 0.5 * (kappa - kappa.T)
+        u = jax.scipy.linalg.expm(k)
+        cr = c @ u
+        return jnp.einsum("ik,k,jk->ij", cr, occ, cr)
+
+    def ene(kappa):
+        return eng.energy(dm_of_kappa(kappa), theta)
+
+    n = c.shape[-1]
+    shape = (2, n, n) if eng.polarized else (n, n)
+    k0 = jnp.zeros(shape)
+    h = jax.hessian(ene)(k0)
+    hmat = h.reshape(int(np.prod(shape)), -1)
+    hmat = 0.5 * (hmat + hmat.T)
+    return jnp.linalg.eigh(hmat)[0][0]
+
+
+def is_orb_min(qc, threshold: float = -1e-6) -> bool:
+    """True if the SCF solution is a minimum in orbital-rotation space."""
+    return bool(lowest_eival_orb_hessian(qc) > threshold)

@@ -36,3 +36,25 @@ def map_blocks(fn, args_tree, n: int, block: int):
     out = jax.tree_util.tree_map(
         lambda x: x.reshape((nb * block,) + x.shape[2:])[:n], out)
     return out
+
+
+def map_reduce_blocks(fn, args_tree, n: int, block: int):
+    """Like map_blocks but `fn` returns a per-block *reduction* (any pytree
+    of arrays without the block axis); results are summed over blocks.
+    Padded tail elements must contribute zero (pad inputs with zeros)."""
+    if n <= block:
+        return fn(args_tree)
+    nb = -(-n // block)
+    pad = nb * block - n
+
+    def _pad(x):
+        if pad == 0:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    padded = jax.tree_util.tree_map(_pad, args_tree)
+    reshaped = jax.tree_util.tree_map(
+        lambda x: x.reshape((nb, block) + x.shape[1:]), padded)
+    out = jax.lax.map(fn, reshaped)
+    return jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), out)

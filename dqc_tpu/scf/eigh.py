@@ -18,7 +18,8 @@ _EPS = 1e-12
 
 @jax.custom_jvp
 def safe_eigh(a):
-    return jnp.linalg.eigh(a)
+    res = jnp.linalg.eigh(a)
+    return res.eigenvalues, res.eigenvectors
 
 
 @safe_eigh.defjvp

@@ -44,22 +44,27 @@ class HFEngine:
     def __init__(self, polarized: bool = False):
         self.polarized = polarized
 
-    # --- coulomb/exchange ---
+    # --- coulomb/exchange (dense ERI or density-fitted) ---
     @staticmethod
-    def _j(eri, dm_tot):
-        return jnp.einsum("ijkl,kl->ij", eri, dm_tot)
+    def _j(theta, dm_tot):
+        if "eri" in theta:
+            return jnp.einsum("ijkl,kl->ij", theta["eri"], dm_tot)
+        from .df import df_j
+        return df_j(theta["df"], dm_tot)
 
     @staticmethod
-    def _k(eri, dm):
-        return jnp.einsum("ikjl,...kl->...ij", eri, dm)
+    def _k(theta, dm):
+        if "eri" in theta:
+            return jnp.einsum("ikjl,...kl->...ij", theta["eri"], dm)
+        from .df import df_k
+        return df_k(theta["df"], dm)
 
     def dm_tot(self, dm):
         return dm.sum(axis=0) if self.polarized else dm
 
     def fock(self, dm, theta):
-        eri = theta["eri"]
-        j = self._j(eri, self.dm_tot(dm))
-        k = self._k(eri, dm)
+        j = self._j(theta, self.dm_tot(dm))
+        k = self._k(theta, dm)
         if self.polarized:
             return theta["hcore"][None] + j[None] - k
         return theta["hcore"] + j - 0.5 * k
@@ -73,11 +78,10 @@ class HFEngine:
         return self.dm_from_fock(self.fock(dm, theta), theta)
 
     def energy(self, dm, theta):
-        eri = theta["eri"]
         dmt = self.dm_tot(dm)
         e1 = jnp.einsum("ij,ij->", theta["hcore"], dmt)
-        ej = 0.5 * jnp.einsum("ij,ij->", self._j(eri, dmt), dmt)
-        k = self._k(eri, dm)
+        ej = 0.5 * jnp.einsum("ij,ij->", self._j(theta, dmt), dmt)
+        k = self._k(theta, dm)
         if self.polarized:
             ek = -0.5 * jnp.einsum("sij,sij->", k, dm)
         else:
@@ -107,32 +111,32 @@ class KSEngine(HFEngine):
 
     def fock(self, dm, theta):
         from ..xc.integrate import vxc_matrix
-        eri = theta["eri"]
-        j = self._j(eri, self.dm_tot(dm))
-        vxc = vxc_matrix(self.xc, dm, theta["grid"], self.polarized)
+        j = self._j(theta, self.dm_tot(dm))
+        vxc = vxc_matrix(self.xc, dm, theta["grid"], self.polarized,
+                         xcparams=theta.get("xc_params"))
         f = theta["hcore"] + j
         hyb = self.xc.exx_fraction
         if self.polarized:
             f = f[None] + vxc
             if hyb != 0.0:
-                f = f - hyb * self._k(eri, dm)
+                f = f - hyb * self._k(theta, dm)
         else:
             f = f + vxc
             if hyb != 0.0:
-                f = f - 0.5 * hyb * self._k(eri, dm)
+                f = f - 0.5 * hyb * self._k(theta, dm)
         return f
 
     def energy(self, dm, theta):
         from ..xc.integrate import exc_energy
-        eri = theta["eri"]
         dmt = self.dm_tot(dm)
         e1 = jnp.einsum("ij,ij->", theta["hcore"], dmt)
-        ej = 0.5 * jnp.einsum("ij,ij->", self._j(eri, dmt), dmt)
-        exc = exc_energy(self.xc, dm, theta["grid"], self.polarized)
+        ej = 0.5 * jnp.einsum("ij,ij->", self._j(theta, dmt), dmt)
+        exc = exc_energy(self.xc, dm, theta["grid"], self.polarized,
+                         xcparams=theta.get("xc_params"))
         e = e1 + ej + exc + theta["enuc"]
         hyb = self.xc.exx_fraction
         if hyb != 0.0:
-            k = self._k(eri, dm)
+            k = self._k(theta, dm)
             if self.polarized:
                 e = e - 0.5 * hyb * jnp.einsum("sij,sij->", k, dm)
             else:

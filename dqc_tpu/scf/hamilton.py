@@ -26,12 +26,13 @@ def nuclear_repulsion(atomzs, atompos):
     return 0.5 * (jnp.sum(zz) - jnp.sum(jnp.diagonal(zz)))
 
 
-def build_core_theta(meta, params, atomzs, *, efield=None,
+def build_core_theta(meta, params, atomzs, *, efield=None, efield_grad=None,
                      with_eri: bool = True, ovlp_threshold: float = 1e-9):
     """Builds the SCF theta dict (hcore, ovlp, X/keep, eri, enuc).
 
-    efield: optional (3,) uniform electric field; adds -E.(r) coupling
-    (lowest multipole of the reference's efield handling, hcgto.py:117-125).
+    efield: optional (3,) uniform electric field; adds +E.r_e coupling.
+    efield_grad: optional (3,3) field gradient; adds (1/2!) sum G_de x_d x_e
+    (multipole expansion as in the reference, hcgto.py:117-125).
     """
     ovlp = I.overlap(meta, params)
     kin = I.kinetic(meta, params)
@@ -43,6 +44,14 @@ def build_core_theta(meta, params, atomzs, *, efield=None,
         # electrons have charge -1: H' = +E . r_e  (energy -mu.E with
         # mu_e = -sum r_e); matches reference convention (hcgto.py:117-125)
         hcore = hcore + jnp.einsum("d,dij->ij", jnp.asarray(efield), dip)
+    if efield_grad is not None:
+        pws = [[(2, 0, 0), (1, 1, 0), (1, 0, 1)],
+               [(1, 1, 0), (0, 2, 0), (0, 1, 1)],
+               [(1, 0, 1), (0, 1, 1), (0, 0, 2)]]
+        quad = jnp.stack([jnp.stack([I.multipole(meta, params, pws[a][b])
+                                     for b in range(3)]) for a in range(3)])
+        hcore = hcore + 0.5 * jnp.einsum("de,deij->ij",
+                                         jnp.asarray(efield_grad), quad)
     X, keep = orthogonalizer(ovlp, ovlp_threshold)
     theta = {
         "hcore": hcore,

@@ -79,15 +79,65 @@ class SCF_QCCalc:
 
     # --- user API ----------------------------------------------------------
     def run(self):
-        def _go(p):
-            dm, theta = self.solve_dm(p)
-            return dm, theta, self.engine.energy(dm, theta)
-        self._dm, self._theta, self._energy = jax.jit(_go)(self._all_params())
+        cache_fname = getattr(self.mol, "_cache_fname", None)
+        if cache_fname is None:
+            def _go(p):
+                dm, theta = self.solve_dm(p)
+                return dm, theta, self.engine.energy(dm, theta)
+            self._dm, self._theta, self._energy = \
+                jax.jit(_go)(self._all_params())
+        else:
+            # two-phase: theta may be served from the on-disk cache, skipping
+            # the integral build (and its compile) entirely
+            from ..utils.cache import Cache
+            import jax.tree_util as jtu
+            cache = Cache(cache_fname, signature=self.mol.cache_signature)
+            params = self._all_params()
+
+            def compute_theta():
+                theta = jax.jit(self._build_theta)(params)
+                leaves, treedef = jtu.tree_flatten(theta)
+                self._theta_treedef = treedef
+                return leaves
+
+            leaves = cache.cache_multi(
+                [f"theta/{i}" for i in range(len(
+                    jtu.tree_flatten(jax.eval_shape(self._build_theta,
+                                                    params))[0]))],
+                compute_theta)
+            treedef = jtu.tree_flatten(
+                jax.eval_shape(self._build_theta, params))[1]
+            theta = jtu.tree_unflatten(treedef, [jnp.asarray(l)
+                                                 for l in leaves])
+
+            def _solve(theta):
+                dm0 = jnp.zeros(
+                    ((2, self.mol.meta.nao, self.mol.meta.nao)
+                     if self.engine.polarized
+                     else (self.mol.meta.nao, self.mol.meta.nao)),
+                    dtype=jnp.float64)
+                dm = self._solver(theta, dm0)
+                return dm, self.engine.energy(dm, theta)
+            self._dm, self._energy = jax.jit(_solve)(theta)
+            self._theta = theta
         self._has_run = True
         return self
 
     def _all_params(self):
-        return self.mol.params
+        """Full differentiable input pytree. Properties differentiate the
+        energy w.r.t. entries of this dict (atom positions, basis params,
+        fields, fractional charges, NN-XC weights)."""
+        mol = self.mol
+        p = {
+            "basis": mol.params,
+            "atomzs": mol.atomzs,
+            "efield": (jnp.zeros(3, dtype=jnp.float64) if mol.efield is None
+                       else jnp.asarray(mol.efield, dtype=jnp.float64)),
+            "efield_grad": jnp.zeros((3, 3), dtype=jnp.float64),
+        }
+        if getattr(self, "_xc_params", None) is not None:
+            p["xc_params"] = self._xc_params
+        return p
 
     def energy(self):
         assert self._has_run, "call .run() first"
@@ -112,19 +162,43 @@ class SCF_QCCalc:
         return self.mol
 
 
+def _df_setup(mol):
+    """If density fitting is enabled on the molecule, returns
+    (meta_aux, params_aux_template); else None."""
+    if mol.dfinfo is None:
+        return None
+    from ..ops.shellstruct import pack_basis
+    meta_aux, params_aux = pack_basis(mol.dfinfo.auxbases)
+    return meta_aux, params_aux
+
+
+def _maybe_df(theta, mol, dfset, params):
+    if dfset is None:
+        return theta
+    from .df import build_df_theta
+    meta_aux, params_aux = dfset
+    pa = dict(params_aux)
+    pa["atompos"] = params["basis"]["atompos"]  # tie aux centers to atoms
+    theta.pop("eri", None)
+    theta["df"] = build_df_theta(mol.meta, params["basis"], meta_aux, pa)
+    return theta
+
+
 def HF(mol, *, restricted: Optional[bool] = None,
        opts: Optional[SCFOptions] = None) -> SCF_QCCalc:
     """Hartree-Fock driver (parity: reference dqc.HF, hf.py:31-69)."""
     polarized = mol.polarized if restricted is None else (not restricted)
     engine = HFEngine(polarized=polarized)
     occ = _occ_array(mol, polarized)
-    atomzs = mol.atomzs
+    dfset = _df_setup(mol)
 
     def build_theta(params):
-        theta = build_core_theta(mol.meta, params, atomzs,
-                                 efield=mol.efield)
+        theta = build_core_theta(mol.meta, params["basis"], params["atomzs"],
+                                 efield=params.get("efield"),
+                                 efield_grad=params.get("efield_grad"),
+                                 with_eri=dfset is None)
         theta["occ"] = occ
-        return theta
+        return _maybe_df(theta, mol, dfset, params)
 
     return SCF_QCCalc(mol, engine, build_theta=build_theta,
                       opts=opts or SCFOptions())
@@ -135,22 +209,30 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
     """Kohn-Sham driver (parity: reference dqc.KS, ks.py:21-100), with
     hybrid-functional support the reference lacks (SURVEY §2.7)."""
     from ..xc import get_xc
+    from ..xc.custom import CustomXC
     from ..xc.integrate import setup_grid_theta
     if isinstance(xc, str):
         xc = get_xc(xc)
     polarized = mol.polarized if restricted is None else (not restricted)
     engine = KSEngine(xc, polarized=polarized)
     occ = _occ_array(mol, polarized)
-    atomzs = mol.atomzs
     grid = mol.setup_grid()
+    dfset = _df_setup(mol)
 
     def build_theta(params):
-        theta = build_core_theta(mol.meta, params, atomzs,
-                                 efield=mol.efield)
+        theta = build_core_theta(mol.meta, params["basis"], params["atomzs"],
+                                 efield=params.get("efield"),
+                                 efield_grad=params.get("efield_grad"),
+                                 with_eri=dfset is None)
         theta["occ"] = occ
-        theta["grid"] = setup_grid_theta(mol.meta, params, grid,
+        theta["grid"] = setup_grid_theta(mol.meta, params["basis"], grid,
                                          family=xc.family)
-        return theta
+        theta["xc_params"] = params.get("xc_params")
+        return _maybe_df(theta, mol, dfset, params)
 
-    return SCF_QCCalc(mol, engine, build_theta=build_theta,
+    calc = SCF_QCCalc(mol, engine, build_theta=build_theta,
                       opts=opts or SCFOptions())
+    # expose NN-XC parameters as differentiable inputs
+    if isinstance(xc, CustomXC):
+        calc._xc_params = {xc.key: xc.init_params}
+    return calc

@@ -98,6 +98,24 @@ class Mol:
         self.grid_level = grid
         self._dfinfo: Optional[DensityFitInfo] = None
         self._grid = None
+        self._cache_fname: Optional[str] = None
+
+    def set_cache(self, fname: str):
+        """Cache expensive theta tensors (integrals, grid tables) on disk,
+        keyed by a system signature (parity: reference mol.py:217-244)."""
+        self._cache_fname = fname
+        return self
+
+    @property
+    def cache_signature(self) -> str:
+        import hashlib
+        pos = np.asarray(self.atompos).tobytes()
+        zs = np.asarray(self.zs_int).tobytes()
+        shells = str([(b.angmom, list(map(float, b.alphas)),
+                       list(map(float, b.coeffs)))
+                      for ab in self.atombases for b in ab.bases])
+        h = hashlib.sha256(pos + zs + shells.encode()).hexdigest()[:16]
+        return f"mol-{h}-grid{self.grid_level}-q{self.charge}-s{self.spin}"
 
     # --- occupations -----------------------------------------------------
     def get_orb_weights(self, polarized: Optional[bool] = None):
@@ -117,14 +135,19 @@ class Mol:
         return 2.0 * occnumber(nup, nao)
 
     # --- hooks ------------------------------------------------------------
-    def densityfit(self, method: str = "coulomb", auxbasis="def2-svp-jkfit"):
+    def densityfit(self, method: str = "coulomb", auxbasis="autoaux"):
         """Use density fitting for the 2-electron integrals.
-        Parity: reference mol.py:170-208."""
-        auxb = []
-        for i, zi in enumerate(self.zs_int):
-            bas_i = _load_atom_basis(zi, auxbasis)
-            auxb.append(AtomCGTOBasis(atomz=zi, bases=bas_i,
-                                      pos=np.asarray(self.atompos)[i]))
+        Parity: reference mol.py:170-208. auxbasis: a named fitting basis or
+        "autoaux" for the generated even-tempered fit (offline-first)."""
+        if isinstance(auxbasis, str) and auxbasis.lower() == "autoaux":
+            from ..basis.autoaux import autoaux
+            auxb = autoaux(self.atombases)
+        else:
+            auxb = []
+            for i, zi in enumerate(self.zs_int):
+                bas_i = _load_atom_basis(zi, auxbasis)
+                auxb.append(AtomCGTOBasis(atomz=zi, bases=bas_i,
+                                          pos=np.asarray(self.atompos)[i]))
         self._dfinfo = DensityFitInfo(method=method, auxbases=auxb)
         return self
 

@@ -21,13 +21,25 @@ import jax.numpy as jnp
 
 from ..grid.becke import becke_weights
 from ..ops.aoeval import eval_ao
-from ..ops.chunks import map_blocks
+from ..ops.chunks import map_reduce_blocks
 
-GRID_CHUNK = 4096
+GRID_CHUNK = 8192
+# AO tables are evaluated in chunks of this many points during setup (bounds
+# peak memory of the polynomial machinery); the tables themselves persist.
+AO_EVAL_CHUNK = 16384
+
+
+def _deriv_of_family(family: int) -> int:
+    return 0 if family <= 1 else (1 if family <= 2 else 2)
 
 
 def setup_grid_theta(meta, params, grid, family: int = 1):
-    """GridSpec -> in-graph grid tables: coords (ng,3), dvol (ng,)."""
+    """GridSpec -> in-graph grid tables: coords, dvol, AO value tables.
+
+    AO tables (phi, grad phi, lapl phi at every point) depend only on the
+    basis params — computed ONCE here, so the SCF loop's exc/vxc are pure
+    einsums over them (the reference similarly tabulates AOs at setup,
+    hcgto.py:152-186)."""
     atompos = params["atompos"]
     atom_idx = jnp.asarray(grid.atom_idx.astype(np.int64))
     coords = (atompos[atom_idx]
@@ -35,20 +47,24 @@ def setup_grid_theta(meta, params, grid, family: int = 1):
     w_becke = becke_weights(coords, atom_idx, atompos,
                             jnp.asarray(grid.atom_radii))
     dvol = jnp.asarray(grid.w0) * w_becke
-    return {"coords": coords, "dvol": dvol, "family": family,
-            "meta": meta, "params": params}
-
-
-def _deriv_of_family(family: int) -> int:
-    return 0 if family <= 1 else (1 if family <= 2 else 2)
-
-
-def density_info(meta, params, dm, coords, family: int, polarized: bool):
-    """Densities at coords from dm. Returns dict of arrays (leading ng).
-
-    restricted dm: (nao,nao); polarized dm: (2,nao,nao)."""
     deriv = _deriv_of_family(family)
-    tabs = eval_ao(meta, params, coords, deriv=deriv)
+    from ..ops.chunks import map_blocks
+    from ..parallel.mesh import shard_grid_axis
+    tabs = map_blocks(lambda c: eval_ao(meta, params, c, deriv=deriv),
+                      coords, coords.shape[0], AO_EVAL_CHUNK)
+    out = {"coords": shard_grid_axis(coords),
+           "dvol": shard_grid_axis(dvol), "family": family}
+    out["ao"] = shard_grid_axis(tabs["ao"])
+    if deriv >= 1:
+        out["ao_grad"] = shard_grid_axis(tabs["ao_grad"])
+    if deriv >= 2:
+        out["ao_lapl"] = shard_grid_axis(tabs["ao_lapl"])
+    return out
+
+
+def density_from_tables(tabs, dm, family: int, polarized: bool):
+    """Densities at grid points from AO tables + dm."""
+    deriv = _deriv_of_family(family)
     ao = tabs["ao"]                                      # (ng,nao)
 
     def dens_of(dmi):
@@ -56,14 +72,13 @@ def density_info(meta, params, dm, coords, family: int, polarized: bool):
         rho = jnp.einsum("gi,gi->g", b, ao)
         out = {"rho": rho}
         if deriv >= 1:
-            g = jnp.einsum("gdi,gi->gd", jnp.einsum(
-                "gdi,ij->gdj", tabs["ao_grad"], dmi), ao)
-            out["grad"] = 2.0 * g                        # (ng,3)
+            gb = jnp.einsum("gdi,ij->gdj", tabs["ao_grad"], dmi)
+            out["grad"] = 2.0 * jnp.einsum("gdi,gi->gd", gb, ao)
         if deriv >= 2:
             lap_b = tabs["ao_lapl"] @ dmi
             t1 = jnp.einsum("gi,gi->g", lap_b, ao)
-            gg = jnp.einsum("gdi,gdi->g", jnp.einsum(
-                "gdi,ij->gdj", tabs["ao_grad"], dmi), tabs["ao_grad"])
+            gb = jnp.einsum("gdi,ij->gdj", tabs["ao_grad"], dmi)
+            gg = jnp.einsum("gdi,gdi->g", gb, tabs["ao_grad"])
             out["lapl"] = 2.0 * t1 + 2.0 * gg
             out["tau"] = 0.5 * gg
         return out
@@ -73,51 +88,79 @@ def density_info(meta, params, dm, coords, family: int, polarized: bool):
     return dens_of(dm)
 
 
+def density_info(meta, params, dm, coords, family: int, polarized: bool):
+    """Densities at arbitrary coords (re-evaluates AOs; for grid-table use
+    density_from_tables)."""
+    deriv = _deriv_of_family(family)
+    tabs = eval_ao(meta, params, coords, deriv=deriv)
+    return density_from_tables(tabs, dm, family, polarized)
+
+
+# grid points with density below this threshold contribute zero energy and
+# zero gradient (double-where screening); prevents rho->0 tails from
+# poisoning vxc with inf*0 NaNs (the reference relies on libxc's internal
+# density thresholds for the same thing).
+DENS_THRESHOLD = 1e-12
+
+
+def _screen(mask, x, fill=1.0):
+    return jnp.where(mask, x, fill)
+
+
 def _edens_at(xc, dens, polarized: bool, xcparams=None):
     fam = xc.family
     if polarized:
         du, dd = dens["u"], dens["d"]
+        mask = (du["rho"] + dd["rho"]) > DENS_THRESHOLD
         kw = {}
         if fam >= 2:
-            kw["sigma_uu"] = jnp.sum(du["grad"] ** 2, axis=-1)
-            kw["sigma_ud"] = jnp.sum(du["grad"] * dd["grad"], axis=-1)
-            kw["sigma_dd"] = jnp.sum(dd["grad"] ** 2, axis=-1)
+            kw["sigma_uu"] = _screen(mask, jnp.sum(du["grad"] ** 2, axis=-1))
+            kw["sigma_ud"] = _screen(
+                mask, jnp.sum(du["grad"] * dd["grad"], axis=-1))
+            kw["sigma_dd"] = _screen(mask, jnp.sum(dd["grad"] ** 2, axis=-1))
         if fam >= 4:
-            kw.update(lapl_u=du["lapl"], lapl_d=dd["lapl"],
-                      tau_u=du["tau"], tau_d=dd["tau"])
+            kw.update(lapl_u=_screen(mask, du["lapl"]),
+                      lapl_d=_screen(mask, dd["lapl"]),
+                      tau_u=_screen(mask, du["tau"]),
+                      tau_d=_screen(mask, dd["tau"]))
+        ru = _screen(mask, du["rho"])
+        rd = _screen(mask, dd["rho"])
         if hasattr(xc, "apply_pol"):
-            return xc.apply_pol(xcparams, du["rho"], dd["rho"], **kw)
-        return xc.edens_pol(du["rho"], dd["rho"], **kw)
+            e = xc.apply_pol(xcparams, ru, rd, **kw)
+        else:
+            e = xc.edens_pol(ru, rd, **kw)
+        return jnp.where(mask, e, 0.0)
+    mask = dens["rho"] > DENS_THRESHOLD
     kw = {}
     if fam >= 2:
-        kw["sigma"] = jnp.sum(dens["grad"] ** 2, axis=-1)
+        kw["sigma"] = _screen(mask, jnp.sum(dens["grad"] ** 2, axis=-1))
     if fam >= 4:
-        kw.update(lapl=dens["lapl"], tau=dens["tau"])
+        kw.update(lapl=_screen(mask, dens["lapl"]),
+                  tau=_screen(mask, dens["tau"]))
+    r = _screen(mask, dens["rho"])
     if hasattr(xc, "apply_unpol"):
-        return xc.apply_unpol(xcparams, dens["rho"], **kw)
-    return xc.edens_unpol(dens["rho"], **kw)
+        e = xc.apply_unpol(xcparams, r, **kw)
+    else:
+        e = xc.edens_unpol(r, **kw)
+    return jnp.where(mask, e, 0.0)
 
 
-def exc_energy(xc, dm, grid_theta, polarized: bool, xcparams=None,
-               chunk: int = GRID_CHUNK):
-    """E_xc = sum_g dvol_g e(r_g), chunked over the grid axis."""
-    meta = grid_theta["meta"]
-    params = grid_theta["params"]
+def exc_energy(xc, dm, grid_theta, polarized: bool, xcparams=None):
+    """E_xc = sum_g dvol_g e(r_g) over the precomputed AO tables."""
     fam = xc.family
-
-    def body(args):
-        dens = density_info(meta, params, dm, args["coords"], fam, polarized)
-        e = _edens_at(xc, dens, polarized, xcparams)
-        return jnp.sum(e * args["dvol"])[None]
-
-    ng = grid_theta["coords"].shape[0]
-    parts = map_blocks(body, {"coords": grid_theta["coords"],
-                              "dvol": grid_theta["dvol"]}, ng, chunk)
-    return jnp.sum(parts)
+    dens = density_from_tables(grid_theta, dm, fam, polarized)
+    e = _edens_at(xc, dens, polarized, xcparams)
+    return jnp.sum(e * grid_theta["dvol"])
 
 
 def vxc_matrix(xc, dm, grid_theta, polarized: bool, xcparams=None):
     """V_xc = d E_xc / d dm — one jax.grad, exact to all orders
-    (generalizes reference base_xc.py:39-125 to every family)."""
-    return jax.grad(
+    (generalizes reference base_xc.py:39-125 to every family).
+
+    Symmetrized: E_xc(dm) as written only represents the density for
+    symmetric dm (e.g. grad n = 2 sum_ij dm_ij grad(phi_i) phi_j), so the
+    raw gradient carries a spurious antisymmetric part; the derivative along
+    the symmetric subspace is the symmetrization."""
+    g = jax.grad(
         lambda d: exc_energy(xc, d, grid_theta, polarized, xcparams))(dm)
+    return 0.5 * (g + jnp.swapaxes(g, -1, -2))

@@ -14,3 +14,7 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: XLA compiles dominate runtime on small hosts
+jax.config.update("jax_compilation_cache_dir", "/tmp/dqc_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,100 @@
+"""XC functional values vs independently-known reference points, and
+consistency checks (unpol == pol at zeta=0; vxc from autodiff).
+
+Parity intent: reference test_xc.py validates against pylibxc to 2nd
+derivative order; offline we use exact limits + internal consistency +
+uniform-electron-gas values.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dqc_tpu.xc import get_xc
+from dqc_tpu.xc.lda import LDA_X, LDA_C_PW, LDA_C_VWN5
+from dqc_tpu.xc.gga import GGA_X_PBE, GGA_X_B88, GGA_C_LYP, GGA_C_PBE
+
+RHO = jnp.asarray([1e-3, 0.05, 0.3, 1.0, 5.0])
+SIG = jnp.asarray([1e-6, 1e-3, 0.05, 0.5, 10.0])
+
+
+def test_lda_x_value():
+    # e_x = -(3/4)(3/pi)^{1/3} rho^{4/3}
+    e = LDA_X().edens_unpol(RHO)
+    expect = -(3 / 4) * (3 / np.pi) ** (1 / 3) * np.asarray(RHO) ** (4 / 3)
+    np.testing.assert_allclose(np.asarray(e), expect, rtol=1e-12)
+
+
+def test_pol_equals_unpol_at_zero_zeta():
+    for xc in (LDA_X(), LDA_C_PW(), LDA_C_VWN5(), GGA_X_PBE(), GGA_X_B88(),
+               GGA_C_LYP(), GGA_C_PBE()):
+        if xc.family == 1:
+            e_u = xc.edens_unpol(RHO)
+            e_p = xc.edens_pol(RHO / 2, RHO / 2)
+        else:
+            e_u = xc.edens_unpol(RHO, sigma=SIG)
+            e_p = xc.edens_pol(RHO / 2, RHO / 2, SIG / 4, SIG / 4, SIG / 4)
+        np.testing.assert_allclose(np.asarray(e_u), np.asarray(e_p),
+                                   rtol=1e-10, err_msg=type(xc).__name__)
+
+
+def test_pw92_known_values():
+    """PW92 correlation energy per electron at rs = 1, 2, 5 (zeta=0):
+    well-known values -0.0597, -0.0448, -0.0282 Ha (Perdew-Wang 1992)."""
+    for rs, expect in [(1.0, -0.059776), (2.0, -0.044757), (5.0, -0.028165)]:
+        rho = 3.0 / (4 * np.pi * rs ** 3)
+        e = float(LDA_C_PW().edens_unpol(jnp.asarray([rho]))[0]) / rho
+        assert abs(e - expect) < 2e-5, (rs, e)
+
+
+def test_pbe_x_enhancement_limits():
+    """F(s=0) = 1 (LDA limit), F(s->inf) -> 1 + kappa = 1.804."""
+    rho = jnp.asarray([1.0])
+    e0 = float(GGA_X_PBE().edens_unpol(rho, sigma=jnp.asarray([0.0]))[0])
+    elda = float(LDA_X().edens_unpol(rho)[0])
+    assert abs(e0 / elda - 1.0) < 1e-10
+    ebig = float(GGA_X_PBE().edens_unpol(rho, sigma=jnp.asarray([1e8]))[0])
+    assert abs(ebig / elda - 1.804) < 1e-3
+
+
+def test_xc_algebra():
+    xc = 0.25 * get_xc("lda_x") + 0.75 * get_xc("lda_x")
+    e = xc.edens_unpol(RHO)
+    np.testing.assert_allclose(np.asarray(e),
+                               np.asarray(LDA_X().edens_unpol(RHO)),
+                               rtol=1e-14)
+    b3 = get_xc("b3lyp")
+    assert abs(b3.exx_fraction - 0.2) < 1e-14
+    assert b3.family == 2
+
+
+def test_vxc_autodiff_matches_analytic_lda():
+    """v_xc for LDA exchange = -(3/pi)^{1/3} rho^{1/3} (analytic)."""
+    f = lambda r: jnp.sum(LDA_X().edens_unpol(r))
+    v = jax.grad(f)(RHO)
+    expect = -(3 / np.pi) ** (1 / 3) * np.asarray(RHO) ** (1 / 3)
+    np.testing.assert_allclose(np.asarray(v), expect, rtol=1e-10)
+
+
+def test_higher_derivatives_nan_free():
+    """fxc and kxc (2nd, 3rd derivs) are finite for all families — the
+    capability the reference gets from libxc deriv tables."""
+    for name in ("lda_x", "lda_c_pw", "gga_x_pbe", "gga_c_pbe", "gga_x_b88",
+                 "gga_c_lyp", "mgga_x_scan", "mgga_c_scan"):
+        xc = get_xc(name)
+        if xc.family == 1:
+            f = lambda r: jnp.sum(xc.edens_unpol(r))
+            args = (RHO,)
+        elif xc.family == 2:
+            f = lambda r, s: jnp.sum(xc.edens_unpol(r, sigma=s))
+            args = (RHO, SIG)
+        else:
+            f = lambda r, s, t: jnp.sum(
+                xc.edens_unpol(r, sigma=s, lapl=jnp.zeros_like(r), tau=t))
+            args = (RHO, SIG, 0.3 * RHO ** (5 / 3) * 4.0)
+        for order in range(1, 3):
+            g = f
+            for _ in range(order):
+                g = jax.jacfwd(g)
+            out = g(*args)
+            assert np.all(np.isfinite(np.asarray(out))), (name, order)
