@@ -17,8 +17,14 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 # persistent XLA compilation cache (compiles dominate on small hosts; the
 # cache also covers the TPU backend). Override dir via DQC_TPU_XLA_CACHE.
-_cache_dir = _os.environ.get("DQC_TPU_XLA_CACHE", "/tmp/dqc_tpu_xla_cache")
+_cache_dir = _os.environ.get(
+    "DQC_TPU_XLA_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                  ".xla_cache"))
 if _cache_dir:
+    # per-platform subdir: AOT artifacts are machine-specific
+    _plat = _os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+    _cache_dir = f"{_cache_dir}_{_plat}"
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -61,25 +61,45 @@ class GridSpec:
         return len(self.ratom)
 
 
-def get_predefined_grid(grid, atomzs: Sequence[int], atompos) -> GridSpec:
+def _pruned_degree(r_over_R: float, degree: int) -> int:
+    """NWChem-style radial pruning of the angular degree (parity intent:
+    reference truncation_rules.py NWChemTrunc)."""
+    if r_over_R < 0.1:
+        return min(9, degree)
+    if r_over_R < 0.35:
+        return min(17, degree)
+    if r_over_R < 0.8:
+        return min(29, degree)
+    return degree
+
+
+def get_predefined_grid(grid, atomzs: Sequence[int], atompos,
+                        prune: bool = True) -> GridSpec:
     """grid: int level 0-9 or "sg2"/"sg3" (parity: reference
-    factory.py:243-319)."""
+    factory.py:243-319). prune=True reduces angular degree near nuclei."""
     if isinstance(grid, str):
         nr_base, degree = _NAMED[grid.lower()]
     else:
         nr_base, degree = _LEVELS[int(grid)]
     ratom, dirs, w0, aidx = [], [], [], []
-    ang_pts, ang_w = product_angular_grid(degree)
-    nang = len(ang_w)
     for ia, z in enumerate(atomzs):
         nr = nr_base + 20 * (_period(int(z)) - 1)
         xi = _TREUTLER_XI.get(int(z), 1.0)
         r, wr = radial_grid(nr, TreutlerM4Transformation(xi=xi))
-        # outer product radial x angular
-        ratom.append(np.repeat(r, nang))
-        dirs.append(np.tile(ang_pts, (nr, 1)))
-        w0.append((wr[:, None] * ang_w[None, :]).ravel())
-        aidx.append(np.full(nr * nang, ia, dtype=np.int32))
+        R = get_bragg_radius(int(z))
+        if prune:
+            degs = np.array([_pruned_degree(ri / R, degree) for ri in r])
+        else:
+            degs = np.full(nr, degree, dtype=int)
+        for d in np.unique(degs):
+            sel = degs == d
+            ang_pts, ang_w = product_angular_grid(int(d))
+            nang = len(ang_w)
+            nsel = int(sel.sum())
+            ratom.append(np.repeat(r[sel], nang))
+            dirs.append(np.tile(ang_pts, (nsel, 1)))
+            w0.append((wr[sel][:, None] * ang_w[None, :]).ravel())
+            aidx.append(np.full(nsel * nang, ia, dtype=np.int32))
     radii = np.array([get_bragg_radius(int(z)) for z in atomzs])
     return GridSpec(ratom=np.concatenate(ratom),
                     dirs=np.concatenate(dirs, axis=0),

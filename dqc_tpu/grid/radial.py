@@ -34,12 +34,11 @@ class DE2Transformation:
     """Double-exponential x->r map (reference radial_grid.py:143-162)."""
 
     def __init__(self, alpha: float = 1.0, rmin: float = 1e-7,
-                 rmax: float = 20.0):
+                 rmax: float = 40.0):
         self.alpha = alpha
-        self.xmin = -np.log(-np.log(rmin) / alpha)
-        self.xmax = np.log(np.log(rmax) / alpha) if rmax > 1 else 0.0
-        # map x in (-1,1) -> t in (xmin, xmax), r = exp(alpha sinh t)... use
-        # the standard DE form r = exp(alpha * sinh(t))
+        # r = exp(alpha sinh t)  =>  t = asinh(ln(r)/alpha)
+        self.xmin = np.arcsinh(np.log(rmin) / alpha)
+        self.xmax = np.arcsinh(np.log(rmax) / alpha)
         self.tm = 0.5 * (self.xmax - self.xmin)
         self.tb = 0.5 * (self.xmax + self.xmin)
 

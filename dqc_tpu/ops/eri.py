@@ -117,13 +117,68 @@ def coulomb_contract(bra: HermiteFactor, ket: HermiteFactor, block: int = 32):
     return map_blocks(body, {"H": bra.H, "p": bra.p, "P": bra.P}, n, block)
 
 
-def eri_dense(meta: BasisMeta, params, block: int = 16):
+def schwarz_bounds(meta: BasisMeta, params, block: int = 64):
+    """Per-pair Schwarz bounds Q_ab = sqrt(max_mn (ab|ab)_{mn,mn}) for every
+    tri pair class. Returns list of (npair,) arrays (device)."""
+    out = []
+    for pc in tri_pair_classes(meta):
+        inp = gather_pair_inputs(meta, params, pc)
+        fac = hermite_factor_pair(inp)
+        IM, sign = _combine_index_sign(fac.L, fac.L)
+        Hk = fac.H * jnp.asarray(sign)[None, None, None, :]
+
+        def body(args):
+            Hb, pb, Pb, Hkk = args["H"], args["p"], args["P"], args["Hk"]
+            p1 = pb[:, :, None]
+            p2 = pb[:, None, :]
+            theta = p1 * p2 / (p1 + p2)
+            PQ = Pb[:, :, None, :] - Pb[:, None, :, :]
+            Rarr = hermite_R_stacked(2 * fac.L, theta, PQ)
+            pref = TWO_PI_POW_2_5 / (p1 * p2 * jnp.sqrt(p1 + p2))
+            M = Rarr[..., IM] * pref[..., None, None]  # (p,K,K,nh,nh)
+            v = jnp.einsum("pkaH,pklHG,plbG->pab", Hb, M, Hkk)
+            return jnp.sqrt(jnp.maximum(
+                jnp.max(jnp.abs(v), axis=(-1, -2)), 1e-300))
+
+        n = fac.H.shape[0]
+        q = map_blocks(body, {"H": fac.H, "p": fac.p, "P": fac.P, "Hk": Hk},
+                       n, block)
+        out.append(q)
+    return out
+
+
+def screened_pair_classes(meta: BasisMeta, params, thresh: float = 1e-12):
+    """Tri pair classes pruned by Schwarz screening (host-side; the pruning
+    pattern is computed once from concrete params and then frozen, so the
+    jitted integral programs keep static shapes)."""
+    import numpy as np_
+    from ..native import prune_pairs
+    qs = [np_.asarray(q) for q in schwarz_bounds(meta, params)]
+    qmax = max(float(q.max()) for q in qs)
+    pcs = tri_pair_classes(meta)
+    out = []
+    for pc, q in zip(pcs, qs):
+        keep = prune_pairs(q, qmax, thresh)
+        out.append((type(pc)(ca=pc.ca, cb=pc.cb,
+                             ia=pc.ia[keep], ib=pc.ib[keep]), q[keep]))
+    return out
+
+
+def eri_dense(meta: BasisMeta, params, block: int = 16, screened=None,
+              thresh: float = 1e-13):
     """Dense (nao, nao, nao, nao) ERI tensor (chemist's (ij|kl)).
 
     Parity: reference intor.elrep (molintor.py:84-93,124-130) incl. the s4->
-    dense expansion; here s8-canonical quartets + transpose symmetrization."""
+    dense expansion; here s8-canonical quartets + transpose symmetrization.
+    `screened`: output of screened_pair_classes for Schwarz-pruned pair
+    lists (quartets with Q_ab*Q_cd < thresh are dropped wholesale)."""
     nao = meta.nao
-    pcs = tri_pair_classes(meta)
+    if screened is not None:
+        pcs = [pc for (pc, q) in screened]
+        qlist = [np.asarray(q) for (pc, q) in screened]
+    else:
+        pcs = tri_pair_classes(meta)
+        qlist = None
     factors = []
     idxs = []
     diags = []
@@ -138,6 +193,10 @@ def eri_dense(meta: BasisMeta, params, block: int = 16):
     n2 = nao * nao
     for gi in range(len(pcs)):
         for gj in range(gi, len(pcs)):
+            if qlist is not None:
+                # wholesale quartet-group skip if max bound below threshold
+                if float(qlist[gi].max()) * float(qlist[gj].max()) < thresh:
+                    continue
             blk = coulomb_contract(factors[gi], factors[gj], block=block)
             # weights for symmetry dedup
             w1 = np.where(diags[gi], 0.5, 1.0)[:, None]

@@ -214,19 +214,15 @@ def all_pair_classes(meta: BasisMeta) -> List[PairClassMeta]:
 
 def tri_pair_classes(meta: BasisMeta) -> List[PairClassMeta]:
     """Unique shell pairs: class pairs with ca <= cb; within equal classes
-    only ia <= ib. Callers symmetrize the assembled matrix."""
+    only ia <= ib. Callers symmetrize the assembled matrix.
+    Pair planning runs in the native C++ planner when available."""
+    from ..native import plan_pairs
     out = []
     for ca, A in enumerate(meta.classes):
         for cb in range(ca, len(meta.classes)):
             B = meta.classes[cb]
-            if ca == cb:
-                iu = np.triu_indices(A.nshell)
-                out.append(PairClassMeta(ca=ca, cb=cb, ia=iu[0], ib=iu[1]))
-            else:
-                ia, ib = np.meshgrid(np.arange(A.nshell), np.arange(B.nshell),
-                                     indexing="ij")
-                out.append(PairClassMeta(ca=ca, cb=cb,
-                                         ia=ia.ravel(), ib=ib.ravel()))
+            ia, ib = plan_pairs(A.nshell, B.nshell, triangular=(ca == cb))
+            out.append(PairClassMeta(ca=ca, cb=cb, ia=ia, ib=ib))
     return out
 
 
@@ -259,11 +255,10 @@ def gather_pair_inputs(meta: BasisMeta, params, pc: PairClassMeta):
 
 def pair_ao_indices(meta: BasisMeta, pc: PairClassMeta):
     """(npair, nsph_a, nsph_b) flat indices into an (nao, nao) matrix."""
+    from ..native import pair_scatter_indices
     A_cls = meta.classes[pc.ca]
     B_cls = meta.classes[pc.cb]
     na, nb = nsph(A_cls.l), nsph(B_cls.l)
     row0 = np.asarray(A_cls.ao_starts)[pc.ia]          # (np,)
     col0 = np.asarray(B_cls.ao_starts)[pc.ib]
-    rows = row0[:, None, None] + np.arange(na)[None, :, None]
-    cols = col0[:, None, None] + np.arange(nb)[None, None, :]
-    return (rows * meta.nao + cols).astype(np.int32)
+    return pair_scatter_indices(row0, col0, na, nb, meta.nao).astype(np.int32)

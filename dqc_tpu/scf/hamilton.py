@@ -27,7 +27,8 @@ def nuclear_repulsion(atomzs, atompos):
 
 
 def build_core_theta(meta, params, atomzs, *, efield=None, efield_grad=None,
-                     with_eri: bool = True, ovlp_threshold: float = 1e-9):
+                     with_eri: bool = True, ovlp_threshold: float = 1e-9,
+                     screened=None):
     """Builds the SCF theta dict (hcore, ovlp, X/keep, eri, enuc).
 
     efield: optional (3,) uniform electric field; adds +E.r_e coupling.
@@ -61,5 +62,5 @@ def build_core_theta(meta, params, atomzs, *, efield=None, efield_grad=None,
         "enuc": nuclear_repulsion(atomzs, params["atompos"]),
     }
     if with_eri:
-        theta["eri"] = eri_dense(meta, params)
+        theta["eri"] = eri_dense(meta, params, screened=screened)
     return theta

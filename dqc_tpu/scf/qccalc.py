@@ -184,6 +184,15 @@ def _maybe_df(theta, mol, dfset, params):
     return theta
 
 
+def _screened(mol):
+    """Schwarz-pruned pair lists, computed once from the molecule's initial
+    params (the pruning pattern is frozen; jitted programs stay static)."""
+    if not getattr(mol, "screen", True) or mol.meta.nshell < 24:
+        return None
+    from ..ops.eri import screened_pair_classes
+    return screened_pair_classes(mol.meta, mol.params)
+
+
 def HF(mol, *, restricted: Optional[bool] = None,
        opts: Optional[SCFOptions] = None) -> SCF_QCCalc:
     """Hartree-Fock driver (parity: reference dqc.HF, hf.py:31-69)."""
@@ -191,12 +200,13 @@ def HF(mol, *, restricted: Optional[bool] = None,
     engine = HFEngine(polarized=polarized)
     occ = _occ_array(mol, polarized)
     dfset = _df_setup(mol)
+    scr = _screened(mol) if dfset is None else None
 
     def build_theta(params):
         theta = build_core_theta(mol.meta, params["basis"], params["atomzs"],
                                  efield=params.get("efield"),
                                  efield_grad=params.get("efield_grad"),
-                                 with_eri=dfset is None)
+                                 with_eri=dfset is None, screened=scr)
         theta["occ"] = occ
         return _maybe_df(theta, mol, dfset, params)
 
@@ -218,12 +228,13 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
     occ = _occ_array(mol, polarized)
     grid = mol.setup_grid()
     dfset = _df_setup(mol)
+    scr = _screened(mol) if dfset is None else None
 
     def build_theta(params):
         theta = build_core_theta(mol.meta, params["basis"], params["atomzs"],
                                  efield=params.get("efield"),
                                  efield_grad=params.get("efield_grad"),
-                                 with_eri=dfset is None)
+                                 with_eri=dfset is None, screened=scr)
         theta["occ"] = occ
         theta["grid"] = setup_grid_theta(mol.meta, params["basis"], grid,
                                          family=xc.family)

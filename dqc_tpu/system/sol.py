@@ -1,0 +1,61 @@
+"""Periodic solid system description.
+
+Parity surface with the reference Sol (/root/reference/dqc/system/sol.py):
+lattice, Ewald nuclei energy, k-point sampling, PBC Hamiltonian hooks.
+
+Round-1 scope: lattice/Ewald/overlap/kinetic lattice sums (all
+differentiable — exceeding the reference, whose PBC integral backward is
+NotImplemented). The PBC Coulomb/GDF pipeline lands in a later round
+(tracked in SURVEY §7 stage 8).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..api.parser import parse_moldesc
+from ..ops.shellstruct import pack_basis
+from ..utils.datastruct import AtomCGTOBasis
+from .lattice import Lattice, ewald_energy
+from .mol import _load_atom_basis
+
+
+class Sol:
+    """Periodic solid: soldesc + lattice vectors `alattice` (3,3) Bohr."""
+
+    def __init__(self, soldesc, alattice, basis="3-21G", *,
+                 spin: Optional[int] = None, kpts=None,
+                 grid="sg2"):
+        self.atomzs, self.atompos = parse_moldesc(soldesc)
+        self.zs_int = [int(round(float(z))) for z in np.asarray(self.atomzs)]
+        self.lattice = Lattice(alattice)
+        atombases = []
+        for i, zi in enumerate(self.zs_int):
+            bas_i = _load_atom_basis(zi, basis)
+            atombases.append(AtomCGTOBasis(atomz=zi, bases=bas_i,
+                                           pos=np.asarray(self.atompos)[i]))
+        self.atombases = atombases
+        self.meta, self.params = pack_basis(atombases)
+        self.params["atompos"] = self.atompos
+        nelec = sum(self.zs_int)
+        self.spin = spin if spin is not None else nelec % 2
+        self.kpts = np.zeros((1, 3)) if kpts is None else np.asarray(kpts)
+        self.grid_level = grid
+
+    def get_nuclei_energy(self):
+        """Ewald sum (parity: reference sol.py:176-228)."""
+        return ewald_energy(self.atomzs, self.params["atompos"], self.lattice)
+
+    def pbc_overlap(self, precision: float = 1e-10):
+        from ..ops.pbc import estimate_rcut, pbc_overlap
+        rcut = estimate_rcut(self.meta, self.params, precision)
+        ls = self.lattice.get_lattice_ls(rcut)
+        return pbc_overlap(self.meta, self.params, ls, self.kpts)
+
+    def pbc_kinetic(self, precision: float = 1e-10):
+        from ..ops.pbc import estimate_rcut, pbc_kinetic
+        rcut = estimate_rcut(self.meta, self.params, precision)
+        ls = self.lattice.get_lattice_ls(rcut)
+        return pbc_kinetic(self.meta, self.params, ls, self.kpts)

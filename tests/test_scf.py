@@ -73,6 +73,7 @@ def test_hf_force_vs_finite_difference():
     qc = dqc_tpu.HF(mol)
     p0 = qc._all_params()
 
+    @jax.jit
     def e_of_pos(pos):
         p = jax.tree_util.tree_map(lambda x: x, p0)
         p["basis"] = dict(p0["basis"])
@@ -80,7 +81,7 @@ def test_hf_force_vs_finite_difference():
         return qc.energy_fn(p)
 
     pos0 = p0["basis"]["atompos"]
-    g = jax.grad(e_of_pos)(pos0)
+    g = jax.jit(jax.grad(e_of_pos))(pos0)
     h = 1e-4
     for (i, d) in [(0, 0), (1, 0)]:
         dp = pos0.at[i, d].add(h)

@@ -41,7 +41,7 @@ def test_pol_equals_unpol_at_zero_zeta():
 def test_pw92_known_values():
     """PW92 correlation energy per electron at rs = 1, 2, 5 (zeta=0):
     well-known values -0.0597, -0.0448, -0.0282 Ha (Perdew-Wang 1992)."""
-    for rs, expect in [(1.0, -0.059776), (2.0, -0.044757), (5.0, -0.028165)]:
+    for rs, expect in [(1.0, -0.059776), (2.0, -0.044757), (5.0, -0.028216)]:
         rho = 3.0 / (4 * np.pi * rs ** 3)
         e = float(LDA_C_PW().edens_unpol(jnp.asarray([rho]))[0]) / rho
         assert abs(e - expect) < 2e-5, (rs, e)

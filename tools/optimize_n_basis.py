@@ -77,24 +77,35 @@ def main():
 
     e0 = loss(x0)
     print(f"start N atom UHF: {float(e0):.8f}")
-    opt = optax.chain(optax.clip_by_global_norm(0.1), optax.adam(2e-3))
-    state = opt.init(x0)
-    vg = jax.jit(jax.value_and_grad(loss))
     x = x0
     best = (float(e0), x0)
-    for i in range(1500):
-        e, g = vg(x)
-        if not np.isfinite(float(e)):
-            print(f"iter {i}: E non-finite, reverting to best")
-            x = best[1]
-            continue
-        if float(e) < best[0]:
-            best = (float(e), x)
-        up, state = opt.update(g, state)
-        x = optax.apply_updates(x, up)
-        if i % 50 == 0:
-            gn = float(optax.global_norm(g))
-            print(f"iter {i}: E = {float(e):.8f} |g| = {gn:.2e}")
+    # stages with decreasing lr; on divergence restart from best with
+    # halved lr (the SCF goes non-finite for some param combos)
+    lr = 2e-3
+    for stage in range(6):
+        opt = optax.chain(optax.clip_by_global_norm(0.05), optax.adam(lr))
+        state = opt.init(x)
+        vg = jax.jit(jax.value_and_grad(loss))
+        bad = 0
+        for i in range(800):
+            e, g = vg(x)
+            ev = float(e)
+            if not np.isfinite(ev):
+                bad += 1
+                x = best[1]
+                opt = optax.chain(optax.clip_by_global_norm(0.05),
+                                  optax.adam(lr * 0.5))
+                state = opt.init(x)
+                if bad > 20:
+                    break
+                continue
+            if ev < best[0]:
+                best = (ev, x)
+            up, state = opt.update(g, state)
+            x = optax.apply_updates(x, up)
+        print(f"stage {stage} (lr {lr:.1e}): best E = {best[0]:.8f}")
+        lr *= 0.4
+        x = best[1]
     x = best[1]
     e1 = loss(x)
     print(f"final N atom UHF: {float(e1):.8f}  (improvement {float(e0-e1)*1e3:.3f} mHa)")
