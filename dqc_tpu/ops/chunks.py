@@ -17,6 +17,11 @@ def map_blocks(fn, args_tree, n: int, block: int):
     args_tree: pytree of arrays with leading dim n (only those; broadcast
     constants should be closed over in fn). Returns fn outputs concatenated
     over the leading axis, trimmed to n.
+
+    Padding replicates the last row ("edge" mode): zero-padding would create
+    invalid inputs (e.g. zero Gaussian exponents -> 0/0) whose NaN
+    intermediates poison the *backward* pass even though the primal rows are
+    sliced away.
     """
     if n <= block:
         return fn(args_tree)
@@ -27,7 +32,7 @@ def map_blocks(fn, args_tree, n: int, block: int):
         if pad == 0:
             return x
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, widths)
+        return jnp.pad(x, widths, mode="edge")
 
     padded = jax.tree_util.tree_map(_pad, args_tree)
     reshaped = jax.tree_util.tree_map(

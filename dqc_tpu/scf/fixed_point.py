@@ -25,6 +25,9 @@ class SCFOptions(NamedTuple):
     diis_size: int = 10
     diis_start: int = 1
     damping: float = 0.0        # simple mixing fraction of old Fock
+    method: str = "diis"        # "diis" | "variational" (reference parity:
+    #                             scf_qccalc.py's two solution modes)
+    var_maxiter: int = 400      # BFGS iterations for the variational mode
 
 
 def _flat(x):
@@ -99,38 +102,59 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
     return unravel(ff), it, errnorm
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+@partial(jax.custom_jvp, nondiff_argnums=(0, 1))
 def implicit_fixed_point(step, solver, theta, x0):
     """x* with x* = step(x*, theta). Forward via `solver(theta, x0)`;
-    gradients via the implicit function theorem (exact at convergence).
+    derivatives via the implicit function theorem (exact at convergence,
+    to ALL orders and in BOTH AD modes).
 
     step: (x, theta) -> x, pure. solver: (theta, x0) -> x*, any algorithm
     whose output satisfies the fixed point (it is not differentiated).
+
+    Implementation note: the JVP rule solves (I - J) dx = (d step/d theta)
+    dtheta with lax.custom_linear_solve, whose explicit transpose makes
+    reverse mode (and jacfwd-of-jacrev Hessians) derive automatically —
+    the JAX-native analog of xitorch equilibrium's custom backward.
     """
     return solver(theta, x0)
 
 
-def _ifp_fwd(step, solver, theta, x0):
-    x_star = solver(theta, x0)
-    return x_star, (theta, x_star)
+@implicit_fixed_point.defjvp
+def _ifp_jvp(step, solver, primals, tangents):
+    theta, x0 = primals
+    dtheta, _ = tangents
+    x_star = implicit_fixed_point(step, solver, theta, x0)
 
+    # rhs = (d step/d theta) . dtheta at (x*, theta)
+    _, rhs = jax.jvp(lambda th: step(x_star, th), (theta,), (dtheta,))
 
-def _ifp_bwd(step, solver, res, xbar):
-    theta, x_star = res
-    _, vjp_x = jax.vjp(lambda x: step(x, theta), x_star)
-    _, vjp_theta = jax.vjp(lambda th: step(x_star, th), theta)
+    def matvec(v):
+        # (I - d step/dx) v   via jvp (linear in v)
+        _, jv = jax.jvp(lambda x: step(x, theta), (x_star,), (v,))
+        return jax.tree_util.tree_map(lambda a, b: a - b, v, jv)
 
-    def A(lam):
-        # (I - (d step/dx)^T) lam
-        (jlam,) = vjp_x(lam)
-        return jax.tree_util.tree_map(lambda a, b: a - b, lam, jlam)
+    def _guarded_solve(mv, b):
+        # normalize the rhs; a symmetry-zero rhs (common for Hessian tangent
+        # directions) would otherwise make GMRES divide by zero
+        import jax.flatten_util
+        bflat, unravel = jax.flatten_util.ravel_pytree(b)
+        bn = jnp.linalg.norm(bflat)
+        scale = jnp.where(bn > 0.0, bn, 1.0)
+        bhat = unravel(bflat / scale)
+        out, _ = jax.scipy.sparse.linalg.gmres(
+            mv, bhat, x0=bhat, tol=1e-12, atol=0.0, maxiter=100,
+            solve_method="batched")
+        oflat, _ = jax.flatten_util.ravel_pytree(out)
+        safe = jnp.where(jnp.isfinite(oflat), oflat, 0.0) * jnp.where(
+            bn > 0.0, scale, 0.0)
+        return unravel(safe)
 
-    lam, _ = jax.scipy.sparse.linalg.gmres(
-        A, xbar, x0=xbar, tol=1e-12, atol=0.0, maxiter=100,
-        solve_method="batched")
-    (theta_bar,) = vjp_theta(lam)
-    x0_bar = jax.tree_util.tree_map(jnp.zeros_like, x_star)
-    return theta_bar, x0_bar
+    def solve(mv, b):
+        return _guarded_solve(mv, b)
 
+    def transpose_solve(vecmat, b):
+        return _guarded_solve(vecmat, b)
 
-implicit_fixed_point.defvjp(_ifp_fwd, _ifp_bwd)
+    dx = jax.lax.custom_linear_solve(matvec, rhs, solve,
+                                     transpose_solve=transpose_solve)
+    return x_star, dx

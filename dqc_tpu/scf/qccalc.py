@@ -46,6 +46,8 @@ class SCF_QCCalc:
     def _solver(self, theta, dm0):
         eng = self.engine
         opts = self.opts
+        if opts.method == "variational":
+            return self._variational_solver(theta, dm0)
 
         def step_and_err(fock):
             dm = eng.dm_from_fock(fock, theta)
@@ -56,6 +58,41 @@ class SCF_QCCalc:
         f0 = eng.fock(dm0, theta)
         f_star, _, _ = diis_solve(step_and_err, f0, opts)
         return eng.dm_from_fock(f_star, theta)
+
+    def _variational_solver(self, theta, dm0):
+        """Direct energy minimization over orbital rotations
+        dm(kappa) = C exp(kappa) occ exp(-kappa) C^T — parity with the
+        reference's variational mode (scf_qccalc.py:117-174, matexp
+        parametrization orbparams.py:71-126)."""
+        import jax.scipy.linalg as jsl
+        from jax.scipy.optimize import minimize as jmin
+        eng = self.engine
+        # initial orbitals from the core guess
+        from .engine import orthogonal_fock_to_dm
+        f0 = eng.fock(dm0, theta)
+        _, _, c0 = orthogonal_fock_to_dm(f0, theta["X"], theta["keep"],
+                                         theta["occ"])
+        n = c0.shape[-1]
+        pol = eng.polarized
+        shape = (2, n, n) if pol else (n, n)
+
+        def dm_of(kflat):
+            k = kflat.reshape(shape)
+            k = 0.5 * (k - jnp.swapaxes(k, -1, -2))
+            if pol:
+                u = jnp.stack([jsl.expm(k[0]), jsl.expm(k[1])])
+            else:
+                u = jsl.expm(k)
+            cr = jnp.einsum("...ij,...jk->...ik", c0, u)
+            return jnp.einsum("...ik,...k,...jk->...ij", cr, theta["occ"], cr)
+
+        def ene(kflat):
+            return eng.energy(dm_of(kflat), theta)
+
+        k0 = jnp.zeros(int(np.prod(shape)), dtype=jnp.float64)
+        res = jmin(ene, k0, method="BFGS",
+                   options={"maxiter": self.opts.var_maxiter, "gtol": 1e-9})
+        return dm_of(res.x)
 
     def solve_dm(self, params):
         """params -> converged density matrix (implicit-diff aware)."""
@@ -193,9 +230,11 @@ def _screened(mol):
     return screened_pair_classes(mol.meta, mol.params)
 
 
-def HF(mol, *, restricted: Optional[bool] = None,
+def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
        opts: Optional[SCFOptions] = None) -> SCF_QCCalc:
     """Hartree-Fock driver (parity: reference dqc.HF, hf.py:31-69)."""
+    if variational and opts is None:
+        opts = SCFOptions(method="variational")
     polarized = mol.polarized if restricted is None else (not restricted)
     engine = HFEngine(polarized=polarized)
     occ = _occ_array(mol, polarized)
@@ -215,9 +254,12 @@ def HF(mol, *, restricted: Optional[bool] = None,
 
 
 def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
+       variational: bool = False,
        opts: Optional[SCFOptions] = None) -> SCF_QCCalc:
     """Kohn-Sham driver (parity: reference dqc.KS, ks.py:21-100), with
     hybrid-functional support the reference lacks (SURVEY §2.7)."""
+    if variational and opts is None:
+        opts = SCFOptions(method="variational")
     from ..xc import get_xc
     from ..xc.custom import CustomXC
     from ..xc.integrate import setup_grid_theta

@@ -115,7 +115,12 @@ class GGA_C_LYP(BaseXC):
         n13 = safepow(n, 1.0 / 3.0)
         icbrt = 1.0 / n13
         denom = 1.0 + d * icbrt
-        omega = jnp.exp(-c * icbrt) / denom * safepow(n, -11.0 / 3.0, _RHO_EPS)
+        # log-space: n^{-11/3} alone overflows the TPU pow's f32 range for
+        # n < ~1e-10 (inf * exp(-big) -> NaN); the combined exponent is
+        # always moderate or -inf.
+        log_omega = (-c * icbrt - (11.0 / 3.0) * jnp.log(n)
+                     - jnp.log(denom))
+        omega = jnp.exp(log_omega)
         delta = c * icbrt + d * icbrt / denom
         sigma = sigma_uu + 2.0 * sigma_ud + sigma_dd
         nund = nu * nd

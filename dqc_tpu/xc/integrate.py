@@ -145,12 +145,29 @@ def _edens_at(xc, dens, polarized: bool, xcparams=None):
     return jnp.where(mask, e, 0.0)
 
 
-def exc_energy(xc, dm, grid_theta, polarized: bool, xcparams=None):
-    """E_xc = sum_g dvol_g e(r_g) over the precomputed AO tables."""
+def exc_energy(xc, dm, grid_theta, polarized: bool, xcparams=None,
+               chunk: int = 65536):
+    """E_xc = sum_g dvol_g e(r_g) over the precomputed AO tables.
+
+    Chunked (lax.map) + rematerialized over the grid axis so the reverse
+    pass (vxc) holds only one chunk of (ng, nao) intermediates — the memory
+    control the reference gets from chunkify (SURVEY §5.7)."""
     fam = xc.family
-    dens = density_from_tables(grid_theta, dm, fam, polarized)
-    e = _edens_at(xc, dens, polarized, xcparams)
-    return jnp.sum(e * grid_theta["dvol"])
+    ng = grid_theta["dvol"].shape[0]
+
+    def body(tabs):
+        dens = density_from_tables(tabs, dm, fam, polarized)
+        e = _edens_at(xc, dens, polarized, xcparams)
+        return jnp.sum(e * tabs["dvol"])
+
+    tab_keys = [k for k in ("ao", "ao_grad", "ao_lapl", "dvol")
+                if k in grid_theta]
+    if ng <= chunk:
+        return body({k: grid_theta[k] for k in tab_keys})
+    from ..ops.chunks import map_reduce_blocks
+    import jax as _jax
+    return map_reduce_blocks(_jax.checkpoint(body),
+                             {k: grid_theta[k] for k in tab_keys}, ng, chunk)
 
 
 def vxc_matrix(xc, dm, grid_theta, polarized: bool, xcparams=None):

@@ -1,0 +1,49 @@
+"""Property pipeline vs CCCBDB anchors (parity: reference
+test_properties.py — same H2O HF/3-21G fixture and reference values)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dqc_tpu
+from dqc_tpu.api.properties import (hessian_pos, vibration, edipole,
+                                    equadrupole, ir_spectrum, is_orb_min)
+
+# CCCBDB calculated geometry for H2O (same as reference fixture)
+H2O = "O 0.0 0.0 0.2156; H 0.0 1.4749 -0.8625; H 0.0 -1.4749 -0.8625"
+
+
+@pytest.fixture(scope="module")
+def h2o_qc():
+    mol = dqc_tpu.Mol(H2O, basis="3-21G")
+    return dqc_tpu.HF(mol).run()
+
+
+def test_hessian_symmetric(h2o_qc):
+    hess = np.asarray(hessian_pos(h2o_qc))
+    np.testing.assert_allclose(hess, hess.T, atol=2e-6)
+
+
+def test_vibration_vs_cccbdb(h2o_qc):
+    freqs, _ = vibration(h2o_qc)
+    f = np.asarray(freqs)[:3]
+    expect = np.array([3944.0, 3811.0, 1800.0])
+    np.testing.assert_allclose(f, expect, rtol=1.5e-3)
+
+
+def test_edipole_vs_cccbdb(h2o_qc):
+    mu = np.asarray(edipole(h2o_qc, unit="debye"))
+    # CCCBDB H2O HF/3-21G dipole ~ 2.39 D along -z in this orientation
+    assert abs(np.linalg.norm(mu) - 2.39) < 0.03
+    assert abs(mu[0]) < 1e-8 and abs(mu[1]) < 1e-8
+
+
+def test_ir_intensities_finite(h2o_qc):
+    freqs, inten = ir_spectrum(h2o_qc)
+    assert np.isfinite(np.asarray(inten)).all()
+    # the three vibrational modes carry nonzero IR intensity
+    assert (np.asarray(inten)[:3] > 1e-6).all()
+
+
+def test_is_orb_min(h2o_qc):
+    assert is_orb_min(h2o_qc)
