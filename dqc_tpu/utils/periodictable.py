@@ -58,7 +58,7 @@ _BRAGG_ANGSTROM = [
     1.55, 1.45, 1.45, 1.40, 1.40, 2.16,
 ]
 
-ANGSTROM_TO_BOHR = 1.0 / 0.52917721092
+ANGSTROM_TO_BOHR = 1.0 / 0.529177210903
 BRAGG_RADII = [r * ANGSTROM_TO_BOHR for r in _BRAGG_ANGSTROM]
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 import math
 
 # fundamental conversions
-BOHR_TO_ANGSTROM = 0.52917721092
+BOHR_TO_ANGSTROM = 0.529177210903
 ANGSTROM_TO_BOHR = 1.0 / BOHR_TO_ANGSTROM
 HARTREE_TO_EV = 27.211386245988
 HARTREE_TO_KCALMOL = 627.5094740631

@@ -50,6 +50,14 @@ def test_rks_pbe_h2():
     assert abs(float(qc.energy()) - (-1.068217310366847)) < 1e-6
 
 
+def test_rks_scan_li2():
+    """SCAN meta-GGA vs PySCF anchor (H2 xfails even in PySCF/psi4 —
+    reference test_ks.py:103-105)."""
+    mol = Mol("Li -2.5 0 0; Li 2.5 0 0", basis="6-311++G**", grid=4)
+    qc = dqc_tpu.KS(mol, xc="mgga_x_scan").run()
+    assert abs(float(qc.energy()) - (-14.8687500)) < 1e-4
+
+
 def test_uhf_equals_rhf_closed_shell():
     """Restricted == unrestricted for a closed-shell system (backend-free
     invariant, reference test_ks.py:362-377)."""
