@@ -48,6 +48,15 @@ class HermiteFactor:
     L: int
 
 
+import jax as _jax  # noqa: E402
+
+_jax.tree_util.register_pytree_node(
+    HermiteFactor,
+    lambda f: ((f.H, f.p, f.P), f.L),
+    lambda L, ch: HermiteFactor(H=ch[0], p=ch[1], P=ch[2], L=L),
+)
+
+
 def hermite_factor_pair(inp) -> HermiteFactor:
     """Hermite factor of a shell-pair class (bra of 4c/3c integrals)."""
     la, lb = inp["la"], inp["lb"]

@@ -41,21 +41,33 @@ class HFEngine:
     theta keys: hcore (nao,nao), eri (nao,)*4, X, keep, occ, enuc.
     Parity: reference _HFEngine (hf.py:115-247)."""
 
-    def __init__(self, polarized: bool = False):
+    def __init__(self, polarized: bool = False, jk_info=None):
         self.polarized = polarized
+        # (BasisMeta, jk_meta) for the streaming direct-SCF J/K path
+        self.jk_info = jk_info
 
-    # --- coulomb/exchange (dense ERI or density-fitted) ---
-    @staticmethod
-    def _j(theta, dm_tot):
+    # --- coulomb/exchange (dense ERI, streamed, or density-fitted) ---
+    def _j(self, theta, dm_tot):
         if "eri" in theta:
             return jnp.einsum("ijkl,kl->ij", theta["eri"], dm_tot)
+        if "jk_facs" in theta:
+            from .jk import jk_matrices
+            bmeta, jkm = self.jk_info
+            j, _ = jk_matrices(bmeta, jkm, theta["jk_facs"], dm_tot,
+                               want_j=True, want_k=False)
+            return j
         from .df import df_j
         return df_j(theta["df"], dm_tot)
 
-    @staticmethod
-    def _k(theta, dm):
+    def _k(self, theta, dm):
         if "eri" in theta:
             return jnp.einsum("ikjl,...kl->...ij", theta["eri"], dm)
+        if "jk_facs" in theta:
+            from .jk import jk_matrices
+            bmeta, jkm = self.jk_info
+            _, k = jk_matrices(bmeta, jkm, theta["jk_facs"], dm,
+                               want_j=False, want_k=True)
+            return k
         from .df import df_k
         return df_k(theta["df"], dm)
 
@@ -105,8 +117,8 @@ class KSEngine(HFEngine):
     plus hybrid exact exchange which the reference lacks.
     """
 
-    def __init__(self, xc, polarized: bool = False):
-        super().__init__(polarized)
+    def __init__(self, xc, polarized: bool = False, jk_info=None):
+        super().__init__(polarized, jk_info=jk_info)
         self.xc = xc
 
     def fock(self, dm, theta):

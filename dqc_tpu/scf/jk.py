@@ -1,0 +1,170 @@
+"""Direct-SCF J/K builds: stream Coulomb/exchange from Hermite factors
+without materializing the nao^4 ERI tensor.
+
+This is the TPU-native analog of integral-direct SCF (the reference can only
+precompute the dense ERI or use DF, hcgto.py:127-135): per Fock build, the
+canonical shell-pair quartet blocks are recomputed on the fly (Boys + MXU
+contractions are cheap; HBM is the scarce resource) and contracted with the
+density immediately. Peak memory is one class-quartet block (~MBs) instead
+of nao^4 (~GBs).
+
+Math: with G0 the canonical-unique quartet tensor (each (ab|cd) stored once
+with diagonal weights as in ops.eri.eri_dense) and G = sum of its 8
+permutation images,
+    J = 2 (A + B) + transposes,   A = G0 contracted over its ket pair,
+                                   B = G0 contracted over its bra pair
+    K = sum over the 4 (bra-index x ket-index) pairings P_xy + P_xy^T
+All contractions happen blockwise per (bra class-group, ket class-group).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.eri import (HermiteFactor, TWO_PI_POW_2_5, _combine_index_sign,
+                       hermite_factor_pair)
+from ..ops.mcd import hermite_R_stacked
+from ..ops.shellstruct import (BasisMeta, gather_pair_inputs, nsph,
+                               tri_pair_classes)
+from ..ops.chunks import map_blocks
+
+
+def build_jk_meta(meta: BasisMeta, screened=None):
+    """Host-side static structure for the streaming JK build."""
+    if screened is not None:
+        pcs = [pc for (pc, q) in screened]
+    else:
+        pcs = tri_pair_classes(meta)
+    info = []
+    for pc in pcs:
+        A = meta.classes[pc.ca]
+        B = meta.classes[pc.cb]
+        rows = np.asarray(A.ao_starts)[pc.ia]
+        cols = np.asarray(B.ao_starts)[pc.ib]
+        diag = ((pc.ia == pc.ib) if pc.ca == pc.cb
+                else np.zeros(pc.npair, dtype=bool))
+        info.append({
+            "pc": pc, "sa": nsph(A.l), "sb": nsph(B.l),
+            "row0": rows, "col0": cols,
+            "w": np.where(diag, 0.5, 1.0),
+        })
+    return info
+
+
+def build_jk_factors(meta: BasisMeta, params, jk_meta):
+    """Device-side Hermite factors (inside the theta build; reused across
+    the SCF loop)."""
+    facs = []
+    for inf in jk_meta:
+        inp = gather_pair_inputs(meta, params, inf["pc"])
+        facs.append(hermite_factor_pair(inp))
+    return facs
+
+
+def _quartet_blocks(fac_p: HermiteFactor, fac_q: HermiteFactor,
+                    sa: int, sb: int, sc: int, sd: int, block: int):
+    """Yields the (np, sa, sb, nq, sc, sd) block for one class-group pair,
+    chunked over the bra pair axis (materialized whole — sizes are MBs)."""
+    IM, sign = _combine_index_sign(fac_p.L, fac_q.L)
+    Hk = fac_q.H * jnp.asarray(sign)[None, None, None, :]
+    Ltot = fac_p.L + fac_q.L
+
+    def body(args):
+        Hb, pb, Pb = args["H"], args["p"], args["P"]
+        p1 = pb[:, :, None, None]
+        p2 = fac_q.p[None, None, :, :]
+        theta = p1 * p2 / (p1 + p2)
+        PQ = Pb[:, :, None, None, :] - fac_q.P[None, None, :, :, :]
+        Rarr = hermite_R_stacked(Ltot, theta, PQ)
+        pref = TWO_PI_POW_2_5 / (p1 * p2 * jnp.sqrt(p1 + p2))
+        M = Rarr[..., IM] * pref[..., None, None]
+        T1 = jnp.einsum("bkqlHG,qlcG->bkqHc", M, Hk)
+        return jnp.einsum("bkaH,bkqHc->baqc", Hb, T1)
+
+    n = fac_p.H.shape[0]
+    blk = map_blocks(body, {"H": fac_p.H, "p": fac_p.p, "P": fac_p.P},
+                     n, block)
+    nq = fac_q.H.shape[0]
+    return blk.reshape(n, sa, sb, nq, sc, sd)
+
+
+def jk_matrices(meta: BasisMeta, jk_meta, facs: List[HermiteFactor], dm,
+                want_j: bool = True, want_k: bool = True, block: int = 16):
+    """Streaming J and/or K for (possibly spin-stacked) dm.
+
+    dm: (nao, nao) or (2, nao, nao) symmetric. Returns (J, K) with J built
+    from the spin-summed density when dm is stacked, K per spin channel."""
+    nao = meta.nao
+    pol = dm.ndim == 3
+    dmt = dm.sum(axis=0) if pol else dm
+    dmk = dm if pol else dm[None]
+    ns = dmk.shape[0]
+
+    Jflat = jnp.zeros((nao * nao,), dtype=jnp.float64)
+    Kflat = jnp.zeros((ns, nao * nao), dtype=jnp.float64)
+
+    ng = len(jk_meta)
+    for gi in range(ng):
+        for gj in range(gi, ng):
+            ip, iq = jk_meta[gi], jk_meta[gj]
+            sa, sb = ip["sa"], ip["sb"]
+            sc, sd = iq["sa"], iq["sb"]
+            np1, np2 = len(ip["row0"]), len(iq["row0"])
+            blk = _quartet_blocks(facs[gi], facs[gj], sa, sb, sc, sd, block)
+            w = ip["w"][:, None] * iq["w"][None, :]
+            if gi == gj:
+                w = w * np.triu(np.ones((np1, np2))) \
+                    * np.where(np.eye(np1, dtype=bool), 0.5, 1.0)
+            blk = blk * jnp.asarray(w)[:, None, None, :, None, None]
+
+            # index grids
+            ra = ip["row0"][:, None] + np.arange(sa)     # (np1, sa)
+            rb = ip["col0"][:, None] + np.arange(sb)
+            rc = iq["row0"][:, None] + np.arange(sc)
+            rd = iq["col0"][:, None] + np.arange(sd)
+
+            if want_j:
+                dq = dmt[jnp.asarray(rc)[:, :, None, None],
+                         jnp.asarray(rd)[:, None, None, :]]  # (np2,sc,1,sd)
+                dq = dq[:, :, 0, :]
+                A = jnp.einsum("pabqcd,qcd->pab", blk, dq)
+                dp = dmt[jnp.asarray(ra)[:, :, None, None],
+                         jnp.asarray(rb)[:, None, None, :]][:, :, 0, :]
+                B = jnp.einsum("pabqcd,pab->qcd", blk, dp)
+                idx_ab = (ra[:, :, None] * nao + rb[:, None, :]).ravel()
+                idx_cd = (rc[:, :, None] * nao + rd[:, None, :]).ravel()
+                Jflat = Jflat.at[jnp.asarray(idx_ab)].add(A.ravel())
+                Jflat = Jflat.at[jnp.asarray(idx_cd)].add(B.ravel())
+
+            if want_k:
+                # gathered dm blocks for the 4 pairings, per spin
+                def dmg(r1, s1, r2, s2):
+                    return dmk[:, jnp.asarray(r1)[:, :, None, None],
+                               jnp.asarray(r2)[None, None, :, :]].reshape(
+                        ns, np1, s1, np2, s2)
+                P_ac = jnp.einsum("pabqcd,spbqd->spaqc", blk,
+                                  dmg(rb, sb, rd, sd))
+                P_ad = jnp.einsum("pabqcd,spbqc->spaqd", blk,
+                                  dmg(rb, sb, rc, sc))
+                P_bc = jnp.einsum("pabqcd,spaqd->spbqc", blk,
+                                  dmg(ra, sa, rd, sd))
+                P_bd = jnp.einsum("pabqcd,spaqc->spbqd", blk,
+                                  dmg(ra, sa, rc, sc))
+                for P, r1, r2 in ((P_ac, ra, rc), (P_ad, ra, rd),
+                                  (P_bc, rb, rc), (P_bd, rb, rd)):
+                    idx = (r1[:, :, None, None] * nao
+                           + r2[None, None, :, :]).ravel()
+                    Kflat = Kflat.at[:, jnp.asarray(idx)].add(
+                        P.reshape(ns, -1))
+
+    # J: the 8 permutation images contribute 2(A + A^T + B + B^T)
+    # (dm symmetric); K: the 4 pairings + transposes cover all 8 exactly.
+    J = Jflat.reshape(nao, nao)
+    J = 2.0 * (J + J.T)
+    K = Kflat.reshape(ns, nao, nao)
+    K = K + jnp.swapaxes(K, -1, -2)
+    if not pol:
+        K = K[0]
+    return (J if want_j else None), (K if want_k else None)

@@ -230,23 +230,42 @@ def _screened(mol):
     return screened_pair_classes(mol.meta, mol.params)
 
 
+# dense nao^4 ERI above this byte count switches to the streaming
+# direct-SCF J/K path (never materializes the tensor)
+DENSE_ERI_BYTES_LIMIT = 600 * 1024 ** 2
+
+
+def _jk_mode(mol):
+    return ("stream" if mol.meta.nao ** 4 * 8 > DENSE_ERI_BYTES_LIMIT
+            else "dense")
+
+
 def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
        opts: Optional[SCFOptions] = None) -> SCF_QCCalc:
     """Hartree-Fock driver (parity: reference dqc.HF, hf.py:31-69)."""
     if variational and opts is None:
         opts = SCFOptions(method="variational")
     polarized = mol.polarized if restricted is None else (not restricted)
-    engine = HFEngine(polarized=polarized)
     occ = _occ_array(mol, polarized)
     dfset = _df_setup(mol)
     scr = _screened(mol) if dfset is None else None
+    mode = _jk_mode(mol) if dfset is None else "df"
+    jk_info = None
+    if mode == "stream":
+        from .jk import build_jk_meta
+        jk_info = (mol.meta, build_jk_meta(mol.meta, scr))
+    engine = HFEngine(polarized=polarized, jk_info=jk_info)
 
     def build_theta(params):
         theta = build_core_theta(mol.meta, params["basis"], params["atomzs"],
                                  efield=params.get("efield"),
                                  efield_grad=params.get("efield_grad"),
-                                 with_eri=dfset is None, screened=scr)
+                                 with_eri=(mode == "dense"), screened=scr)
         theta["occ"] = occ
+        if mode == "stream":
+            from .jk import build_jk_factors
+            theta["jk_facs"] = build_jk_factors(mol.meta, params["basis"],
+                                                jk_info[1])
         return _maybe_df(theta, mol, dfset, params)
 
     return SCF_QCCalc(mol, engine, build_theta=build_theta,
@@ -266,18 +285,27 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
     if isinstance(xc, str):
         xc = get_xc(xc)
     polarized = mol.polarized if restricted is None else (not restricted)
-    engine = KSEngine(xc, polarized=polarized)
     occ = _occ_array(mol, polarized)
     grid = mol.setup_grid()
     dfset = _df_setup(mol)
     scr = _screened(mol) if dfset is None else None
+    mode = _jk_mode(mol) if dfset is None else "df"
+    jk_info = None
+    if mode == "stream":
+        from .jk import build_jk_meta
+        jk_info = (mol.meta, build_jk_meta(mol.meta, scr))
+    engine = KSEngine(xc, polarized=polarized, jk_info=jk_info)
 
     def build_theta(params):
         theta = build_core_theta(mol.meta, params["basis"], params["atomzs"],
                                  efield=params.get("efield"),
                                  efield_grad=params.get("efield_grad"),
-                                 with_eri=dfset is None, screened=scr)
+                                 with_eri=(mode == "dense"), screened=scr)
         theta["occ"] = occ
+        if mode == "stream":
+            from .jk import build_jk_factors
+            theta["jk_facs"] = build_jk_factors(mol.meta, params["basis"],
+                                                jk_info[1])
         theta["grid"] = setup_grid_theta(mol.meta, params["basis"], grid,
                                          family=xc.family)
         theta["xc_params"] = params.get("xc_params")
