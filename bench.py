@@ -43,9 +43,16 @@ def main():
     e = float(qc.energy())
     t_first = time.time() - t0
 
-    # steady-state: rerun the SCF solve only (theta cached in memory now)
+    # steady-state: the jitted DIIS solve on in-memory theta (the number a
+    # production loop over geometries would see per point)
+    import jax.numpy as jnp
+    theta = qc._theta
+    nao = mol.meta.nao
+    dm0 = jnp.zeros((nao, nao))
+    solve = jax.jit(lambda th: qc.engine.energy(qc._solver(th, dm0), th))
+    e2 = float(solve(theta))  # compile
     t0 = time.time()
-    qc.run()
+    e2 = float(solve(theta))
     t_steady = time.time() - t0
 
     print(json.dumps({

@@ -145,8 +145,15 @@ def _edens_at(xc, dens, polarized: bool, xcparams=None):
     return jnp.where(mask, e, 0.0)
 
 
+# elements budget for one (chunk, nao) intermediate in the XC contraction;
+# chosen so several live copies stay well under HBM. Chunking engages only
+# beyond it — nested while(map(remat)) programs have crashed the TPU
+# runtime, so prefer a single chunk whenever it fits.
+XC_CHUNK_ELEMS = 50_000_000
+
+
 def exc_energy(xc, dm, grid_theta, polarized: bool, xcparams=None,
-               chunk: int = 65536):
+               chunk: int = None):
     """E_xc = sum_g dvol_g e(r_g) over the precomputed AO tables.
 
     Chunked (lax.map) + rematerialized over the grid axis so the reverse
@@ -154,6 +161,9 @@ def exc_energy(xc, dm, grid_theta, polarized: bool, xcparams=None,
     control the reference gets from chunkify (SURVEY §5.7)."""
     fam = xc.family
     ng = grid_theta["dvol"].shape[0]
+    if chunk is None:
+        nao = grid_theta["ao"].shape[-1]
+        chunk = max(65536, XC_CHUNK_ELEMS // max(nao, 1))
 
     def body(tabs):
         dens = density_from_tables(tabs, dm, fam, polarized)
@@ -162,10 +172,12 @@ def exc_energy(xc, dm, grid_theta, polarized: bool, xcparams=None,
 
     tab_keys = [k for k in ("ao", "ao_grad", "ao_lapl", "dvol")
                 if k in grid_theta]
-    if ng <= chunk:
-        return body({k: grid_theta[k] for k in tab_keys})
-    from ..ops.chunks import map_reduce_blocks
     import jax as _jax
+    if ng <= chunk:
+        # remat: the vxc backward recomputes the pointwise XC math instead
+        # of storing every (ng, nao) intermediate
+        return _jax.checkpoint(body)({k: grid_theta[k] for k in tab_keys})
+    from ..ops.chunks import map_reduce_blocks
     return map_reduce_blocks(_jax.checkpoint(body),
                              {k: grid_theta[k] for k in tab_keys}, ng, chunk)
 

@@ -78,7 +78,7 @@ def test_set_cache_speeds_second_run(tmp_path):
 def test_units_roundtrip():
     from dqc_tpu.utils.units import (length_to_au, energy_to_au,
                                      FREQ_AU_TO_CM1, AU_TO_DEBYE)
-    assert abs(length_to_au(1.0, "angst") - 1.8897261254535) < 1e-10
+    assert abs(length_to_au(1.0, "angst") - 1.8897261246258) < 1e-10
     assert abs(energy_to_au(27.211386245988, "ev") - 1.0) < 1e-10
     assert abs(FREQ_AU_TO_CM1 - 219474.63) / 219474.63 < 1e-4
     assert abs(AU_TO_DEBYE - 2.5417464) < 1e-5
