@@ -115,3 +115,29 @@ def eval_ao(meta: BasisMeta, params, coords, deriv: int = 0):
             [b.reshape(ng, -1) for b in blocks["ao_lapl"]], axis=-1)
         out["ao_lapl"] = l_cat[:, inv]
     return out
+
+
+def eval_ao_pbc(meta: BasisMeta, params, coords, ls, deriv: int = 0,
+                shift_block: int = 24):
+    """Lattice-summed (gamma-point) AO evaluation:
+    phi~_i(r) = sum_T phi_i(r - T) for the host-enumerated translations
+    `ls` (nL, 3). Same return layout as eval_ao.
+
+    Parity: the reference computes this in torch on top of its C evaluator
+    (gtoeval.py:31-57 pbc_eval); here it is the same eval_ao batched over
+    translation blocks with an in-graph reduction, so it stays
+    differentiable and TPU-shaped. k-points multiply each T block by
+    e^{ik.T} (gamma keeps everything real)."""
+    ls = np.asarray(ls)
+    nL = len(ls)
+    ng = coords.shape[0]
+    acc = None
+    for s0 in range(0, nL, shift_block):
+        Tc = jnp.asarray(ls[s0:s0 + shift_block])      # (nb, 3)
+        nb = Tc.shape[0]
+        c2 = (coords[None, :, :] - Tc[:, None, :]).reshape(nb * ng, 3)
+        tabs = eval_ao(meta, params, c2, deriv=deriv)
+        red = {k: v.reshape((nb, ng) + v.shape[1:]).sum(axis=0)
+               for k, v in tabs.items()}
+        acc = red if acc is None else {k: acc[k] + red[k] for k in acc}
+    return acc

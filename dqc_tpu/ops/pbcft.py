@@ -1,0 +1,237 @@
+"""Analytic Fourier transforms of AO pairs for PBC (AFT).
+
+TPU-native replacement for the reference's FT-integral C path
+(/root/reference/dqc/hamilton/intor/gtoft.py `eval_gto_ft`,
+pbcftintor.py `pbcft_overlap`) and — combined with a reciprocal-space
+Coulomb kernel — for its whole GDF density-fitting pipeline
+(/root/reference/dqc/df/dfpbc.py): instead of compensating-charge
+real-space lattice sums, the Coulomb and nuclear-attraction matrices are
+assembled directly in G-space from
+
+    F_ij(G) = sum_T <phi_i | e^{-i G.r} | phi_j(. - T)>
+            = sum_prims w_k sum_h E_h^{ij} (-iG)^h (pi/p)^{3/2}
+              e^{-G^2/(4p)} e^{-i G.P_k}
+
+(FT of a Hermite Gaussian; Helgaker et al. ch. 9). This reuses the
+molecular McMurchie-Davidson Hermite factors (ops/eri.hermite_factor_pair)
+so the whole PBC electrostatics is differentiable w.r.t. atom positions
+and basis parameters — the reference's PBC integrals have
+backward = NotImplemented (pbcintor.py:246,271).
+
+Everything is kept in real f64 arrays (re/im split): complex128 lowers to
+f64 pairs anyway and the split keeps the einsums MXU-shaped.
+
+Gamma-point today (the reference's PBC tests are gamma-only); k-point
+generalization multiplies the T-sum by e^{ikT} before the pair reduction.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .chunks import map_blocks
+from .eri import hermite_factor_pair
+from .mcd import hermite_list
+from .shellstruct import (BasisMeta, gather_pair_inputs, pair_ao_indices,
+                          tri_pair_classes)
+
+
+def gpow_table(L: int, Gv):
+    """(-iG)^h tables for all Hermite indices |h| <= L.
+
+    Gv: (ng, 3). Returns (Wre, Wim): (ng, nh) real arrays with
+    Wre + i*Wim = (-i Gx)^t (-i Gy)^u (-i Gz)^v."""
+    hl = hermite_list(L)
+    # G component powers up to L
+    pows = [jnp.ones_like(Gv)]
+    for _ in range(L):
+        pows.append(pows[-1] * Gv)
+    P = jnp.stack(pows, axis=-1)                    # (ng, 3, L+1)
+    cols = []
+    for (t, u, v) in hl:
+        cols.append(P[:, 0, t] * P[:, 1, u] * P[:, 2, v])
+    W = jnp.stack(cols, axis=-1)                    # (ng, nh) real magnitude
+    # (-i)^{|h|}: cycle (1,0), (0,-1), (-1,0), (0,1)
+    cre = np.array([[1.0, 0.0, -1.0, 0.0][sum(h) % 4] for h in hl])
+    cim = np.array([[0.0, -1.0, 0.0, 1.0][sum(h) % 4] for h in hl])
+    return W * jnp.asarray(cre)[None, :], W * jnp.asarray(cim)[None, :]
+
+
+def pbc_pair_plan(meta: BasisMeta, params_np, lattice, precision: float = 1e-9
+                  ) -> List[Tuple[object, np.ndarray, np.ndarray]]:
+    """Host-side static plan: for each triangular pair class, the pruned
+    flat list of (pair q, lattice translation T) combos whose Gaussian
+    pair prefactor exp(-mu |A-B-T|^2) can exceed `precision`.
+
+    Returns [(pair_class, qidx (nsel,), shifts (nsel,3)), ...]."""
+    from .pbc import estimate_rcut
+    rcut = estimate_rcut(meta, params_np, precision)
+    ls = lattice.get_lattice_ls(rcut)               # (nL, 3)
+    pos = np.asarray(params_np["atompos"])
+    logp = -np.log(precision)
+    plan = []
+    for pc in tri_pair_classes(meta):
+        A_cls, B_cls = meta.classes[pc.ca], meta.classes[pc.cb]
+        aa = np.asarray(params_np["alphas"][pc.ca])[pc.ia]   # (np, ka)
+        ab = np.asarray(params_np["alphas"][pc.cb])[pc.ib]
+        # smallest reduced exponent over primitive pairs -> slowest decay
+        mu_min = (aa.min(axis=1) * ab.min(axis=1)
+                  / (aa.min(axis=1) + ab.min(axis=1)))       # (np,)
+        A = pos[np.asarray(A_cls.atom_ids)[pc.ia]]
+        B = pos[np.asarray(B_cls.atom_ids)[pc.ib]]
+        AB = A - B                                            # (np, 3)
+        d2 = np.sum((AB[:, None, :] - ls[None, :, :]) ** 2, axis=-1)
+        keep = mu_min[:, None] * d2 < logp                    # (np, nL)
+        q, t = np.nonzero(keep)
+        plan.append((pc, q.astype(np.int64), ls[t]))
+    return plan
+
+
+def pbc_pair_ft(meta: BasisMeta, params, plan, Gv, g_block: int = 512):
+    """Gamma-point lattice-summed pair FT over a G-vector set.
+
+    Gv: (ng, 3) host numpy (frozen reciprocal-lattice vectors).
+    Returns (Fre, Fim): (ng, nao, nao). F is complex-symmetric in (i,j)
+    at gamma for reciprocal-lattice G (e^{-iG.T} = 1)."""
+    nao = meta.nao
+    ng = Gv.shape[0]
+    Gv_j = jnp.asarray(Gv)
+    out_re = jnp.zeros((ng, nao * nao), dtype=jnp.float64)
+    out_im = jnp.zeros((ng, nao * nao), dtype=jnp.float64)
+
+    for pc, qidx, shifts in plan:
+        if len(qidx) == 0:
+            continue
+        inp = gather_pair_inputs(meta, params, pc)
+        q = jnp.asarray(qidx)
+        ext = {
+            "A": inp["A"][q], "B": inp["B"][q] + jnp.asarray(shifts),
+            "aa": inp["aa"][q], "ab": inp["ab"][q],
+            "ca": inp["ca"][q], "cb": inp["cb"][q],
+            "la": inp["la"], "lb": inp["lb"],
+        }
+        bra = hermite_factor_pair(ext)   # H:(ns,kk,nsph,nh) p:(ns,kk) P:(ns,kk,3)
+        nsel = bra.H.shape[0]
+        nsph = bra.H.shape[2]
+
+        def body(args, bra=bra):
+            Gc = args                                   # (gc, 3)
+            Wre, Wim = gpow_table(bra.L, Gc)            # (gc, nh)
+            Tre = jnp.einsum("pksh,gh->pksg", bra.H, Wre)
+            Tim = jnp.einsum("pksh,gh->pksg", bra.H, Wim)
+            g2 = jnp.sum(Gc * Gc, axis=-1)              # (gc,)
+            damp = ((jnp.pi / bra.p[..., None]) ** 1.5
+                    * jnp.exp(-g2[None, None, :] / (4.0 * bra.p[..., None])))
+            ph = jnp.einsum("pkd,gd->pkg", bra.P, Gc)
+            c = damp * jnp.cos(ph)
+            s = damp * jnp.sin(ph)
+            fre = (jnp.einsum("pkg,pksg->gps", c, Tre)
+                   + jnp.einsum("pkg,pksg->gps", s, Tim))
+            fim = (jnp.einsum("pkg,pksg->gps", c, Tim)
+                   - jnp.einsum("pkg,pksg->gps", s, Tre))
+            return fre, fim                             # (gc, nsel, nsph)
+
+        fre, fim = map_blocks(body, Gv_j, ng, g_block)
+
+        # sum translations back onto their source pair, then scatter to AO
+        npair = pc.npair
+        seg = jnp.asarray(qidx)
+        fre = jnp.zeros((ng, npair, nsph)).at[:, seg, :].add(fre)
+        fim = jnp.zeros((ng, npair, nsph)).at[:, seg, :].add(fim)
+        if pc.ca == pc.cb:
+            diag = jnp.asarray((pc.ia == pc.ib), dtype=jnp.float64)
+            fre = fre * (1.0 - 0.5 * diag)[None, :, None]
+            fim = fim * (1.0 - 0.5 * diag)[None, :, None]
+        idx = jnp.asarray(pair_ao_indices(meta, pc).ravel())
+        out_re = out_re.at[:, idx].add(fre.reshape(ng, -1))
+        out_im = out_im.at[:, idx].add(fim.reshape(ng, -1))
+
+    Fre = out_re.reshape(ng, nao, nao)
+    Fim = out_im.reshape(ng, nao, nao)
+    # gamma-point symmetric completion (F_ij = F_ji for reciprocal G)
+    Fre = Fre + jnp.swapaxes(Fre, -1, -2)
+    Fim = Fim + jnp.swapaxes(Fim, -1, -2)
+    return Fre, Fim
+
+
+def coulomb_gweights(Gv, volume):
+    """w_G = 4 pi / (V G^2), with the G=0 term dropped (neutral-cell
+    jellium convention; the matching background terms live in the Ewald
+    nuclei energy, system/lattice.ewald_energy)."""
+    g2 = jnp.sum(jnp.asarray(Gv) ** 2, axis=-1)
+    nz = g2 > 1e-12
+    return jnp.where(nz, 4.0 * jnp.pi / (volume * jnp.where(nz, g2, 1.0)), 0.0)
+
+
+def aft_j(pbcft_theta, dm):
+    """Coulomb matrix J_ij = sum_G w_G Re[rho(G) conj(F_ij(G))] with
+    rho(G) = sum_kl dm_kl F_kl(G)."""
+    Fre, Fim, w = (pbcft_theta["Fre"], pbcft_theta["Fim"],
+                   pbcft_theta["wcoul"])
+    rr = jnp.einsum("kl,gkl->g", dm, Fre)
+    ri = jnp.einsum("kl,gkl->g", dm, Fim)
+    return (jnp.einsum("g,gij->ij", w * rr, Fre)
+            + jnp.einsum("g,gij->ij", w * ri, Fim))
+
+
+def aft_vnuc(Fre, Fim, w, atomzs, atompos, Gv):
+    """Nuclear-attraction matrix from point nuclei in G-space:
+    Vne_ij = sum_G w_G Re[n_nuc(G) conj(F_ij(G))],
+    n_nuc(G) = -sum_A Z_A e^{-i G.R_A}."""
+    ph = jnp.einsum("gd,ad->ga", jnp.asarray(Gv), atompos)
+    z = jnp.asarray(atomzs)
+    nr = -jnp.einsum("a,ga->g", z, jnp.cos(ph))
+    ni = jnp.einsum("a,ga->g", z, jnp.sin(ph))
+    return (jnp.einsum("g,gij->ij", w * nr, Fre)
+            + jnp.einsum("g,gij->ij", w * ni, Fim))
+
+
+def gcut_estimate(meta, params_np, precision: float = 1e-9) -> float:
+    """G cutoff so the steepest pair's FT tail e^{-G^2/(4 p_max)} is below
+    `precision` (parity intent: reference utils/pbc.py estimate_g_cutoff)."""
+    amax = max(float(np.max(np.asarray(a))) for a in params_np["alphas"])
+    return float(np.sqrt(8.0 * amax * -np.log(precision)))
+
+
+def eval_ao_ft(meta: BasisMeta, params, Gv, g_block: int = 2048):
+    """FT of single AOs: phi_i(G) = int e^{-iG.r} phi_i(r) dr.
+
+    Parity: reference eval_gto_ft (gtoft.py:90-139) — there a C driver with
+    backward NotImplemented; here closed-form Hermite math, differentiable.
+    Returns (re, im): (ng, nao)."""
+    from .eri import hermite_factor_single
+    from .shellstruct import normalized_coeffs, nsph
+    ng = Gv.shape[0]
+    Gv_j = jnp.asarray(Gv)
+    out_re = jnp.zeros((ng, meta.nao), dtype=jnp.float64)
+    out_im = jnp.zeros((ng, meta.nao), dtype=jnp.float64)
+    for ci, cls in enumerate(meta.classes):
+        pos = params["atompos"][jnp.asarray(np.asarray(cls.atom_ids))]
+        coeffs = normalized_coeffs(cls.l, params["alphas"][ci],
+                                   params["coeffs"][ci], params["mask"][ci])
+        bra = hermite_factor_single(cls.l, pos, params["alphas"][ci], coeffs)
+
+        def body(Gc, bra=bra):
+            Wre, Wim = gpow_table(bra.L, Gc)
+            Tre = jnp.einsum("pksh,gh->pksg", bra.H, Wre)
+            Tim = jnp.einsum("pksh,gh->pksg", bra.H, Wim)
+            g2 = jnp.sum(Gc * Gc, axis=-1)
+            damp = ((jnp.pi / bra.p[..., None]) ** 1.5
+                    * jnp.exp(-g2[None, None, :] / (4.0 * bra.p[..., None])))
+            ph = jnp.einsum("pkd,gd->pkg", bra.P, Gc)
+            c, s = damp * jnp.cos(ph), damp * jnp.sin(ph)
+            fre = (jnp.einsum("pkg,pksg->gps", c, Tre)
+                   + jnp.einsum("pkg,pksg->gps", s, Tim))
+            fim = (jnp.einsum("pkg,pksg->gps", c, Tim)
+                   - jnp.einsum("pkg,pksg->gps", s, Tre))
+            return fre, fim
+
+        fre, fim = map_blocks(body, Gv_j, ng, g_block)
+        cols = (np.asarray(cls.ao_starts)[:, None]
+                + np.arange(nsph(cls.l))[None, :]).ravel()
+        idx = jnp.asarray(cols)
+        out_re = out_re.at[:, idx].set(fre.reshape(ng, -1))
+        out_im = out_im.at[:, idx].set(fim.reshape(ng, -1))
+    return out_re, out_im

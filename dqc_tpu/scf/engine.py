@@ -48,6 +48,9 @@ class HFEngine:
 
     # --- coulomb/exchange (dense ERI, streamed, or density-fitted) ---
     def _j(self, theta, dm_tot):
+        if "pbcft" in theta:
+            from ..ops.pbcft import aft_j
+            return aft_j(theta["pbcft"], dm_tot)
         if "eri" in theta:
             return jnp.einsum("ijkl,kl->ij", theta["eri"], dm_tot)
         if "jk_facs" in theta:
@@ -60,6 +63,11 @@ class HFEngine:
         return df_j(theta["df"], dm_tot)
 
     def _k(self, theta, dm):
+        if "pbcft" in theta:
+            # parity: reference PBC exact exchange is NotImplemented
+            # (hcgto_pbc.py:183-185)
+            raise NotImplementedError(
+                "Exact exchange not implemented for PBC systems")
         if "eri" in theta:
             return jnp.einsum("ikjl,...kl->...ij", theta["eri"], dm)
         if "jk_facs" in theta:

@@ -243,6 +243,11 @@ def _jk_mode(mol):
 def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
        opts: Optional[SCFOptions] = None) -> SCF_QCCalc:
     """Hartree-Fock driver (parity: reference dqc.HF, hf.py:31-69)."""
+    if hasattr(mol, "lattice"):
+        raise NotImplementedError(
+            "PBC HF needs exact exchange, which is not implemented "
+            "(parity: reference hcgto_pbc.py:183-185); use KS with a "
+            "pure functional")
     if variational and opts is None:
         opts = SCFOptions(method="variational")
     polarized = mol.polarized if restricted is None else (not restricted)
@@ -272,11 +277,44 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
                       opts=opts or SCFOptions())
 
 
+def _pbc_ks(sol, xc, *, restricted=None, opts=None):
+    """Gamma-point PBC Kohn-Sham (parity: reference KS over Sol + GDF,
+    test_ks.py:555-570; here AFT G-space Coulomb, scf/pbc.py)."""
+    from ..xc import get_xc
+    from ..ops.pbc import estimate_rcut
+    from .pbc import build_pbc_core_theta, setup_pbc_grid_theta
+    if isinstance(xc, str):
+        xc = get_xc(xc)
+    if getattr(xc, "exx_fraction", 0.0) != 0.0:
+        raise NotImplementedError(
+            "Hybrid functionals unavailable for PBC (exact exchange "
+            "not implemented, parity: reference hcgto_pbc.py:183-185)")
+    polarized = sol.polarized if restricted is None else (not restricted)
+    occ = _occ_array(sol, polarized)
+    pbcgrid = sol.setup_grid()
+    ls_ao = sol.lattice.get_lattice_ls(
+        estimate_rcut(sol.meta, sol.params, 1e-8))
+    engine = KSEngine(xc, polarized=polarized)
+
+    def build_theta(params):
+        theta = build_pbc_core_theta(sol, params["basis"], params["atomzs"])
+        theta["occ"] = occ
+        theta["grid"] = setup_pbc_grid_theta(
+            sol.meta, params["basis"], pbcgrid, ls_ao, family=xc.family)
+        theta["xc_params"] = params.get("xc_params")
+        return theta
+
+    return SCF_QCCalc(sol, engine, build_theta=build_theta,
+                      opts=opts or SCFOptions())
+
+
 def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
        variational: bool = False,
        opts: Optional[SCFOptions] = None) -> SCF_QCCalc:
     """Kohn-Sham driver (parity: reference dqc.KS, ks.py:21-100), with
     hybrid-functional support the reference lacks (SURVEY §2.7)."""
+    if hasattr(mol, "lattice"):
+        return _pbc_ks(mol, xc, restricted=restricted, opts=opts)
     if variational and opts is None:
         opts = SCFOptions(method="variational")
     from ..xc import get_xc

@@ -39,10 +39,61 @@ class Sol:
         self.atombases = atombases
         self.meta, self.params = pack_basis(atombases)
         self.params["atompos"] = self.atompos
-        nelec = sum(self.zs_int)
+        nelec = sum(self.zs_int)  # no charged solids (reference sol.py:74)
         self.spin = spin if spin is not None else nelec % 2
+        nup = (nelec + self.spin) / 2.0
+        ndn = (nelec - self.spin) / 2.0
+        self.nelec = (nup, ndn)
+        self.polarized = self.spin != 0
         self.kpts = np.zeros((1, 3)) if kpts is None else np.asarray(kpts)
         self.grid_level = grid
+        self.efield = None          # no efield for PBC (reference sol.py:300)
+        self._grid = None
+        self._cache_fname: Optional[str] = None
+
+    @property
+    def dfinfo(self):
+        # AFT G-space Coulomb plays the role of the reference's mandatory
+        # PBC density fitting; .densityfit() is therefore a no-op kept for
+        # API parity (reference sol.py:108-142).
+        return None
+
+    def densityfit(self, method: str = "aft", auxbasis=None):
+        return self
+
+    def get_orb_weights(self, polarized: Optional[bool] = None):
+        from ..utils.datastruct import SpinParam
+        from ..utils.safeops import occnumber
+        nao = self.meta.nao
+        nup, ndn = self.nelec
+        pol = self.polarized if polarized is None else polarized
+        if pol:
+            return SpinParam(u=occnumber(nup, nao), d=occnumber(ndn, nao))
+        if abs(nup - ndn) > 1e-12:
+            raise ValueError("Restricted calculation requires spin 0")
+        return 2.0 * occnumber(nup, nao)
+
+    def setup_grid(self):
+        if self._grid is None:
+            from ..grid.factory import get_predefined_grid, pbc_wrap_grid
+            spec = get_predefined_grid(self.grid_level, self.zs_int,
+                                       np.asarray(self.params["atompos"]))
+            self._grid = pbc_wrap_grid(spec, self.params["atompos"],
+                                       self.lattice)
+        return self._grid
+
+    def set_cache(self, fname: str):
+        self._cache_fname = fname
+        return self
+
+    @property
+    def cache_signature(self) -> str:
+        import hashlib
+        pos = np.asarray(self.atompos).tobytes()
+        zs = np.asarray(self.zs_int).tobytes()
+        lat = np.asarray(self.lattice.lattice_vectors()).tobytes()
+        h = hashlib.sha256(pos + zs + lat).hexdigest()[:16]
+        return f"sol-{h}-grid{self.grid_level}-s{self.spin}"
 
     def get_nuclei_energy(self):
         """Ewald sum (parity: reference sol.py:176-228)."""

@@ -46,3 +46,57 @@ def test_pbc_overlap_kpoint_hermitian():
         np.testing.assert_allclose(S[k], S[k].conj().T, atol=1e-12)
     # gamma-point diagonal larger than 1 (overlap with images adds)
     assert S[1, 0, 0].real > 1.0
+
+
+def test_pair_ft_g0_equals_overlap():
+    """F(G=0) = lattice-summed overlap (gamma) — invariant of the AFT
+    machinery (ops/pbcft.py) vs the real-space lattice sum (ops/pbc.py)."""
+    from dqc_tpu.ops.pbcft import pbc_pair_plan, pbc_pair_ft
+    sol = Sol("H 0 0 0", np.eye(3) * 3.0, basis="3-21g", spin=1)
+    S = np.asarray(sol.pbc_overlap())[0].real
+    plan = pbc_pair_plan(sol.meta, sol.params, sol.lattice, 1e-12)
+    Gv = np.array([[0.0, 0.0, 0.0]])
+    Fre, Fim = pbc_pair_ft(sol.meta, sol.params, plan, Gv)
+    np.testing.assert_allclose(np.asarray(Fre)[0], S, atol=1e-9)
+    assert np.abs(np.asarray(Fim)[0]).max() < 1e-12
+
+
+def test_pbc_grid_integrates_density():
+    """Cell-wrapped Becke grid + lattice-summed AOs integrate the periodic
+    density to the electron count."""
+    import jax
+    from dqc_tpu.ops.pbc import estimate_rcut
+    from dqc_tpu.scf.pbc import setup_pbc_grid_theta
+    sol = Sol("H 0 0 0", np.eye(3) * 3.0, basis="3-21g", spin=1, grid="sg2")
+    pbcgrid = sol.setup_grid()
+    ls_ao = sol.lattice.get_lattice_ls(estimate_rcut(sol.meta, sol.params, 1e-8))
+    gt = jax.jit(lambda p: setup_pbc_grid_theta(sol.meta, p, pbcgrid, ls_ao)
+                 )(sol.params)
+    S = np.asarray(sol.pbc_overlap())[0].real
+    # dm for one electron in the S-orthonormalized lowest combination:
+    # any normalized vector c with c S c = 1 gives integral(rho) = 1
+    w, v = np.linalg.eigh(S)
+    c = v[:, -1] / np.sqrt(w[-1])
+    dm = np.outer(c, c)
+    ao = np.asarray(gt["ao"])
+    rho = np.einsum("gi,ij,gj->g", ao, dm, ao)
+    n = float(np.sum(np.asarray(gt["dvol"]) * rho))
+    assert abs(n - 1.0) < 1e-3
+
+
+# PySCF-GDF anchors from the reference's own PBC test
+# (/root/reference/dqc/test/test_ks.py:534-570): H simple cubic a=3 Bohr,
+# 3-21G, unrestricted, sg3 grid, rtol 1e-3.
+import pytest
+
+
+@pytest.mark.parametrize("xc,eref", [
+    ("lda_x", -8.48464009e-01),
+    ("gga_x_pbe", -8.55645550e-01),
+])
+def test_pbc_ks_energy(xc, eref):
+    import dqc_tpu
+    sol = Sol("H 0 0 0", np.eye(3) * 3.0, basis="3-21g", spin=1, grid="sg3")
+    qc = dqc_tpu.KS(sol, xc=xc).run()
+    e = float(qc.energy())
+    assert abs(e - eref) < 1e-3 * abs(eref)

@@ -108,3 +108,14 @@ def test_frac_charge_interpolation():
         e[q] = float(dqc_tpu.HF(mol).run().energy())
     assert e[1.0] > e[0.0]
     assert min(e[0.0], e[1.0]) <= e[0.5] <= max(e[0.0], e[1.0]) + 0.1
+
+
+def test_variational_matches_scf():
+    """SCF (DIIS) and variational (orbital-rotation BFGS) agree — the
+    backend-free consistency invariant from the reference's two solution
+    modes (scf_qccalc.py:105-174; SURVEY §4 transferable strategy)."""
+    import dqc_tpu
+    mol = dqc_tpu.Mol("H 0 0 0; H 1.0 0 0", basis="3-21g")
+    e_scf = float(dqc_tpu.HF(mol).run().energy())
+    e_var = float(dqc_tpu.HF(mol, variational=True).run().energy())
+    assert abs(e_scf - e_var) < 1e-8
