@@ -43,17 +43,25 @@ def main():
     e = float(qc.energy())
     t_first = time.time() - t0
 
-    # steady-state: the jitted DIIS solve on in-memory theta (the number a
-    # production loop over geometries would see per point)
+    # steady-state: the SCF solve on in-memory theta (the number a
+    # production loop over geometries would see per point). Large systems
+    # use the host-driven DIIS (one compiled iteration); small ones the
+    # all-device while_loop program.
     import jax.numpy as jnp
     theta = qc._theta
     nao = mol.meta.nao
-    dm0 = jnp.zeros((nao, nao))
-    solve = jax.jit(lambda th: qc.engine.energy(qc._solver(th, dm0), th))
-    e2 = float(solve(theta))  # compile
-    t0 = time.time()
-    e2 = float(solve(theta))
-    t_steady = time.time() - t0
+    if nao >= qc.HOST_LOOP_NAO:
+        e2 = float(jax.jit(qc.engine.energy)(qc._host_solve(theta), theta))
+        t0 = time.time()
+        e2 = float(jax.jit(qc.engine.energy)(qc._host_solve(theta), theta))
+        t_steady = time.time() - t0
+    else:
+        dm0 = jnp.zeros((nao, nao))
+        solve = jax.jit(lambda th: qc.engine.energy(qc._solver(th, dm0), th))
+        e2 = float(solve(theta))  # compile
+        t0 = time.time()
+        e2 = float(solve(theta))
+        t_steady = time.time() - t0
 
     print(json.dumps({
         "metric": "benzene_b3lyp_scf_seconds",

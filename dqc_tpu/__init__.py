@@ -38,12 +38,15 @@ from .system.mol import Mol                      # noqa: E402,F401
 
 def __getattr__(name):
     # heavier entry points loaded lazily to keep import fast
-    if name in ("HF", "KS"):
+    if name in ("HF", "KS", "SCF_QCCalc"):
         from .scf import qccalc
         return getattr(qccalc, name)
-    if name == "get_xc":
-        from .xc import get_xc
-        return get_xc
+    if name == "Sol":
+        from .system.sol import Sol
+        return Sol
+    if name in ("get_xc", "get_libxc"):
+        from .xc import getxc
+        return getattr(getxc, name)
     if name in ("hessian_pos", "vibration", "ir_spectrum", "raman_spectrum",
                 "edipole", "equadrupole", "optimal_geometry", "is_orb_min",
                 "lowest_eival_orb_hessian"):

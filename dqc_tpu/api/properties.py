@@ -109,9 +109,10 @@ def equadrupole(qc, unit: str = "a.u."):
     return q_elec + q_nuc
 
 
-def ir_spectrum(qc, freq_unit: str = "cm^-1"):
-    """(freqs, IR intensities |dmu/dQ|^2) per normal mode.
-    Parity: reference properties.py:382-402."""
+def ir_spectrum(qc, freq_unit: str = "cm^-1", ints_unit: str = "km/mol"):
+    """(freqs, IR intensities) per normal mode.
+    ints_unit: "km/mol" (integrated molar absorption) or None for raw
+    |dmu/dQ|^2 in a.u. Parity: reference properties.py:382-402."""
     freqs, modes = vibration(qc, freq_unit)
     p0 = _params(qc)
 
@@ -133,11 +134,18 @@ def ir_spectrum(qc, freq_unit: str = "cm^-1"):
     m = _mass_vector(qc)
     dmu_dq = dmu_dx @ (modes / jnp.sqrt(m)[:, None])  # (3, nmodes)
     inten = jnp.sum(dmu_dq ** 2, axis=0)
+    if ints_unit is not None:
+        from ..utils.units import IR_INT_AU_TO_KMMOL
+        if ints_unit.lower() != "km/mol":
+            raise ValueError(f"unknown ints_unit {ints_unit!r}")
+        inten = inten * IR_INT_AU_TO_KMMOL
     return freqs, inten
 
 
-def raman_spectrum(qc, freq_unit: str = "cm^-1"):
-    """(freqs, Raman activities from dalpha/dQ).
+def raman_spectrum(qc, freq_unit: str = "cm^-1",
+                   ints_unit: str = "angst^4/amu"):
+    """(freqs, Raman activities 45 a'^2 + 7 gamma'^2 from dalpha/dQ).
+    ints_unit: "angst^4/amu" or None for a.u.
     Parity: reference properties.py:404-436."""
     freqs, modes = vibration(qc, freq_unit)
     p0 = _params(qc)
@@ -163,6 +171,11 @@ def raman_spectrum(qc, freq_unit: str = "cm^-1"):
     diff = da_dq - a_p[None, None, :] * jnp.eye(3)[:, :, None]
     gamma2 = 1.5 * jnp.einsum("dem,dem->m", diff, diff)
     activity = 45.0 * a_p ** 2 + 7.0 * gamma2
+    if ints_unit is not None:
+        from ..utils.units import RAMAN_AU_TO_ANGST4_AMU
+        if ints_unit.lower() not in ("angst^4/amu", "angstrom^4/amu"):
+            raise ValueError(f"unknown ints_unit {ints_unit!r}")
+        activity = activity * RAMAN_AU_TO_ANGST4_AMU
     return freqs, activity
 
 

@@ -28,6 +28,13 @@ class SCFOptions(NamedTuple):
     method: str = "diis"        # "diis" | "variational" (reference parity:
     #                             scf_qccalc.py's two solution modes)
     var_maxiter: int = 400      # BFGS iterations for the variational mode
+    # mixed precision: converge an f32 DIIS phase first (native MXU speed on
+    # TPU, where f64 matmuls are ~100x slower emulated), then polish in f64
+    # from the f32 density. The final f64 phase owns the convergence
+    # criterion, so energies/gradients are unchanged at tol.
+    mixed: bool = True
+    mixed_tol: float = 3e-5     # f32-phase DIIS error target
+    mixed_maxiter: int = 40
 
 
 def _flat(x):
@@ -70,7 +77,8 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         filled = (jnp.arange(H) < nfill)
         B = ehist @ ehist.T
         scale = jnp.maximum(jnp.max(jnp.abs(B) * filled[:, None]
-                                    * filled[None, :]), 1e-300)
+                                    * filled[None, :]),
+                            jnp.finfo(ff.dtype).tiny)
         Bn = B / scale
         mask2 = filled[:, None] & filled[None, :]
         Bn = jnp.where(mask2, Bn, jnp.where(
@@ -83,7 +91,7 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         rhs = jnp.zeros((H + 1,), dtype=ff.dtype).at[H].set(1.0)
         # symmetric-eigh solve: TPU implements f64 eigh but not f64 LU
         ew, ev = jnp.linalg.eigh(A)
-        cutoff = 1e-14 * jnp.max(jnp.abs(ew))
+        cutoff = 100 * jnp.finfo(ff.dtype).eps * jnp.max(jnp.abs(ew))
         inv_w = jnp.where(jnp.abs(ew) > cutoff, 1.0 / ew, 0.0)
         c = (ev @ (inv_w * (ev.T @ rhs)))[:H] * filled
         f_diis = c @ fhist

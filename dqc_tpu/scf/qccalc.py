@@ -49,14 +49,33 @@ class SCF_QCCalc:
         if opts.method == "variational":
             return self._variational_solver(theta, dm0)
 
-        def step_and_err(fock):
-            dm = eng.dm_from_fock(fock, theta)
-            f_new = eng.fock(dm, theta)
-            err = eng.diis_err(f_new, dm, theta)
+        def step_and_err(fock, th):
+            dm = eng.dm_from_fock(fock, th)
+            f_new = eng.fock(dm, th)
+            err = eng.diis_err(f_new, dm, th)
             return f_new, err
 
-        f0 = eng.fock(dm0, theta)
-        f_star, _, _ = diis_solve(step_and_err, f0, opts)
+        dm_start = dm0
+        # MGGAs (SCAN) overflow f32 in their iso-orbital indicator
+        # exponentials; keep those all-f64
+        mixed_ok = getattr(getattr(eng, "xc", None), "family", 1) <= 2
+        if opts.mixed and mixed_ok:
+            # f32 pre-phase: the heavy per-iteration work (J/K contraction,
+            # eigh) runs at native MXU throughput; the f64 phase below owns
+            # the convergence criterion so accuracy is unaffected.
+            import jax.tree_util as jtu
+            theta32 = jtu.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if getattr(x, "dtype", None) == jnp.float64 else x, theta)
+            f0_32 = eng.fock(dm0.astype(jnp.float32), theta32)
+            opts32 = opts._replace(tol=opts.mixed_tol,
+                                   maxiter=opts.mixed_maxiter)
+            f32_star, _, _ = diis_solve(
+                lambda f: step_and_err(f, theta32), f0_32, opts32)
+            dm_start = eng.dm_from_fock(f32_star, theta32).astype(jnp.float64)
+
+        f0 = eng.fock(dm_start, theta)
+        f_star, _, _ = diis_solve(lambda f: step_and_err(f, theta), f0, opts)
         return eng.dm_from_fock(f_star, theta)
 
     def _variational_solver(self, theta, dm0):
@@ -94,6 +113,77 @@ class SCF_QCCalc:
                    options={"maxiter": self.opts.var_maxiter, "gtol": 1e-9})
         return dm_of(res.x)
 
+    # --- host-driven DIIS (large systems) --------------------------------
+    # Above this nao, .run() drives the DIIS loop from the host: only ONE
+    # SCF iteration is compiled (vs two unrolled while_loop programs),
+    # keeping the XLA module small enough for the remote TPU AOT compiler;
+    # per-iteration dispatch (~ms) is negligible against the iteration's
+    # device time at this size. Gradient paths (energy_fn) keep the
+    # all-device while_loop + implicit-diff program.
+    HOST_LOOP_NAO = 96
+
+    def _host_solve(self, theta):
+        eng, opts = self.engine, self.opts
+        nao = self.mol.meta.nao
+        shape = ((2, nao, nao) if eng.polarized else (nao, nao))
+
+        @jax.jit
+        def iterate(fock, th):
+            dm = eng.dm_from_fock(fock, th)
+            f_new = eng.fock(dm, th)
+            err = eng.diis_err(f_new, dm, th)
+            return f_new, err
+
+        @jax.jit
+        def first_fock(th, dtype_probe):
+            dm0 = jnp.zeros(shape, dtype=dtype_probe.dtype)
+            return eng.fock(dm0, th)
+
+        def diis_phase(th, f0, tol, maxiter, tag):
+            from ..utils.logger import log
+            f = f0
+            fhist, ehist = [], []
+            for it in range(maxiter):
+                f_new, e_new = iterate(jnp.asarray(f), th)
+                f_new = np.asarray(f_new, dtype=np.float64)
+                e_new = np.asarray(e_new, dtype=np.float64)
+                errnorm = np.abs(e_new).max()
+                fhist = (fhist + [f_new.ravel()])[-opts.diis_size:]
+                ehist = (ehist + [e_new.ravel()])[-opts.diis_size:]
+                E = np.stack(ehist)
+                B = E @ E.T
+                h = len(ehist)
+                A = np.zeros((h + 1, h + 1))
+                A[:h, :h] = B / max(np.abs(B).max(), 1e-300)
+                A[:h, h] = A[h, :h] = 1.0
+                rhs = np.zeros(h + 1)
+                rhs[h] = 1.0
+                c = (np.linalg.pinv(A, rcond=1e-12) @ rhs)[:h]
+                f = ((c @ np.stack(fhist)).reshape(f_new.shape)
+                     if it + 1 >= opts.diis_start else f_new)
+                log(f"host-DIIS[{tag}] it={it} err={errnorm:.3e}")
+                if errnorm < tol:
+                    break
+            return f
+
+        mixed_ok = getattr(getattr(eng, "xc", None), "family", 1) <= 2
+        if opts.mixed and mixed_ok:
+            import jax.tree_util as jtu
+            theta32 = jax.jit(lambda th: jtu.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if getattr(x, "dtype", None) == jnp.float64 else x, th))(theta)
+            probe = jnp.zeros((), jnp.float32)
+            f = diis_phase(theta32, np.asarray(first_fock(theta32, probe)),
+                           opts.mixed_tol, opts.mixed_maxiter, "f32")
+            dm32 = jax.jit(eng.dm_from_fock)(
+                jnp.asarray(f, dtype=np.float32), theta32)
+            f0 = np.asarray(jax.jit(eng.fock)(
+                jnp.asarray(dm32, dtype=jnp.float64), theta))
+        else:
+            f0 = np.asarray(first_fock(theta, jnp.zeros((), jnp.float64)))
+        fstar = diis_phase(theta, f0, opts.tol, opts.maxiter, "f64")
+        return jax.jit(eng.dm_from_fock)(jnp.asarray(fstar), theta)
+
     def solve_dm(self, params):
         """params -> converged density matrix (implicit-diff aware)."""
         theta = self._build_theta(params)
@@ -117,12 +207,19 @@ class SCF_QCCalc:
     # --- user API ----------------------------------------------------------
     def run(self):
         cache_fname = getattr(self.mol, "_cache_fname", None)
-        if cache_fname is None:
+        use_host_loop = (self.mol.meta.nao >= self.HOST_LOOP_NAO
+                         and self.opts.method != "variational")
+        if cache_fname is None and not use_host_loop:
             def _go(p):
                 dm, theta = self.solve_dm(p)
                 return dm, theta, self.engine.energy(dm, theta)
             self._dm, self._theta, self._energy = \
                 jax.jit(_go)(self._all_params())
+        elif cache_fname is None:
+            theta = jax.jit(self._build_theta)(self._all_params())
+            self._dm = self._host_solve(theta)
+            self._energy = jax.jit(self.engine.energy)(self._dm, theta)
+            self._theta = theta
         else:
             # two-phase: theta may be served from the on-disk cache, skipping
             # the integral build (and its compile) entirely
@@ -147,15 +244,19 @@ class SCF_QCCalc:
             theta = jtu.tree_unflatten(treedef, [jnp.asarray(l)
                                                  for l in leaves])
 
-            def _solve(theta):
-                dm0 = jnp.zeros(
-                    ((2, self.mol.meta.nao, self.mol.meta.nao)
-                     if self.engine.polarized
-                     else (self.mol.meta.nao, self.mol.meta.nao)),
-                    dtype=jnp.float64)
-                dm = self._solver(theta, dm0)
-                return dm, self.engine.energy(dm, theta)
-            self._dm, self._energy = jax.jit(_solve)(theta)
+            if use_host_loop:
+                self._dm = self._host_solve(theta)
+                self._energy = jax.jit(self.engine.energy)(self._dm, theta)
+            else:
+                def _solve(theta):
+                    dm0 = jnp.zeros(
+                        ((2, self.mol.meta.nao, self.mol.meta.nao)
+                         if self.engine.polarized
+                         else (self.mol.meta.nao, self.mol.meta.nao)),
+                        dtype=jnp.float64)
+                    dm = self._solver(theta, dm0)
+                    return dm, self.engine.energy(dm, theta)
+                self._dm, self._energy = jax.jit(_solve)(theta)
             self._theta = theta
         self._has_run = True
         return self

@@ -63,3 +63,19 @@ def safe_cdist(a, b, add_diag_eps: bool = False):
         n = d2.shape[-1]
         d2 = d2 + jnp.eye(n, dtype=d2.dtype)
     return jnp.sqrt(jnp.maximum(d2, EPS * EPS))
+
+
+def rho_eps(x):
+    """Density floor, dtype-aware: the f64 value (1e-28) squares/cubes to
+    zero in f32, turning guard divisions into inf and vxc grads into NaN."""
+    import jax.numpy as jnp
+    # f32 floor must keep *squared* guard denominators (e.g.
+    # (4 kf^2 rho^2)^2 ~ rho^{16/3} in the PBE backward) above the f32
+    # min-normal 1.2e-38: 1e-7 aligns with the f32 density screen.
+    return 1e-28 if x.dtype == jnp.float64 else 1e-7
+
+
+def sig_eps(x):
+    """|grad rho|^2 floor, dtype-aware (see rho_eps)."""
+    import jax.numpy as jnp
+    return 1e-40 if x.dtype == jnp.float64 else 1e-14

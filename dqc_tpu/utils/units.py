@@ -64,3 +64,11 @@ def freq_to_cm1(val_au):
 
 def au_to_debye(val_au):
     return val_au * AU_TO_DEBYE
+
+
+# IR integrated molar absorption: A[km/mol] = 974.8801 |dmu/dQ|^2 with
+# dmu/dQ in e * amu^{-1/2} (standard conversion, e.g. CCCBDB conventions);
+# the extra AMU_TO_AU moves from the internal all-a.u. normal coordinates.
+IR_INT_AU_TO_KMMOL = 974.8801 * AMU_TO_AU
+# Raman activity bohr^4/m_e -> angstrom^4/amu
+RAMAN_AU_TO_ANGST4_AMU = AMU_TO_AU * BOHR_TO_ANGSTROM ** 4

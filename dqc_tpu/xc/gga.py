@@ -10,9 +10,9 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..utils.safeops import safepow
+from ..utils.safeops import safepow, rho_eps, sig_eps
 from .base import BaseXC
-from .lda import LDA_C_PW, _RHO_EPS, _rs, _zeta, _fzeta
+from .lda import LDA_C_PW, _rs, _zeta, _fzeta
 
 _SIG_EPS = 1e-40
 
@@ -24,10 +24,11 @@ class GGA_X_PBE(BaseXC):
 
     def _e_unpol(self, rho, sigma):
         # ex_unif * F(s); s^2 = sigma / (4 (3pi^2)^{2/3} n^{8/3})
-        kf = (3.0 * np.pi ** 2) ** (1.0 / 3.0) * safepow(rho, 1.0 / 3.0)
+        kf = ((3.0 * np.pi ** 2) ** (1.0 / 3.0)
+              * safepow(rho, 1.0 / 3.0, rho_eps(rho)))
         ex_lda = -3.0 / (4.0 * np.pi) * kf * rho
-        s2 = jnp.maximum(sigma, _SIG_EPS) / (4.0 * kf * kf
-                                             * jnp.maximum(rho, _RHO_EPS) ** 2)
+        s2 = jnp.maximum(sigma, sig_eps(sigma)) / (4.0 * kf * kf
+                                             * jnp.maximum(rho, rho_eps(rho)) ** 2)
         F = 1.0 + self._KAPPA - self._KAPPA / (1.0 + self._MU * s2 / self._KAPPA)
         return ex_lda * F
 
@@ -51,14 +52,15 @@ class GGA_C_PBE(BaseXC):
 
     def _h(self, n, sigma, z, ec_lda_per_n):
         phi = 0.5 * (safepow(1.0 + z, 2.0 / 3.0) + safepow(1.0 - z, 2.0 / 3.0))
-        kf = (3.0 * np.pi ** 2 * jnp.maximum(n, _RHO_EPS)) ** (1.0 / 3.0)
+        kf = (3.0 * np.pi ** 2 * jnp.maximum(n, rho_eps(n))) ** (1.0 / 3.0)
         ks = jnp.sqrt(4.0 * kf / np.pi)
-        t2 = jnp.maximum(sigma, _SIG_EPS) / (4.0 * phi * phi * ks * ks
-                                             * jnp.maximum(n, _RHO_EPS) ** 2)
+        t2 = jnp.maximum(sigma, sig_eps(sigma)) / (4.0 * phi * phi * ks * ks
+                                             * jnp.maximum(n, rho_eps(n)) ** 2)
         phi3 = phi ** 3
         bg = self._BETA / self._GAMMA
         expo = jnp.exp(-ec_lda_per_n / (self._GAMMA * phi3))
-        A = bg / jnp.maximum(expo - 1.0, 1e-30)
+        A = bg / jnp.maximum(expo - 1.0,
+                              1e-30 if expo.dtype == jnp.float64 else 1e-12)
         at2 = A * t2
         num = 1.0 + at2
         den = 1.0 + at2 + at2 * at2
@@ -69,11 +71,11 @@ class GGA_C_PBE(BaseXC):
         n = rho_u + rho_d
         z = _zeta(rho_u, rho_d)
         sigma = sigma_uu + 2.0 * sigma_ud + sigma_dd
-        ec_lda = self._pw.edens_pol(rho_u, rho_d) / jnp.maximum(n, _RHO_EPS)
+        ec_lda = self._pw.edens_pol(rho_u, rho_d) / jnp.maximum(n, rho_eps(n))
         return n * (ec_lda + self._h(n, sigma, z, ec_lda))
 
     def edens_unpol(self, rho, sigma=None, **kw):
-        ec_lda = self._pw.edens_unpol(rho) / jnp.maximum(rho, _RHO_EPS)
+        ec_lda = self._pw.edens_unpol(rho) / jnp.maximum(rho, rho_eps(rho))
         z = jnp.zeros_like(rho)
         return rho * (ec_lda + self._h(rho, sigma, z, ec_lda))
 
@@ -85,8 +87,8 @@ class GGA_X_B88(BaseXC):
     def _e_spin(self, ns, sigma_ss):
         # per-spin: -Cx (2ns)^{4/3}/2 ... use the standard per-spin form:
         # e_s = ex_lda(ns) - beta ns^{4/3} x^2 / (1 + 6 beta x asinh x)
-        n43 = safepow(ns, 4.0 / 3.0, _RHO_EPS)
-        x = jnp.sqrt(jnp.maximum(sigma_ss, _SIG_EPS)) / n43
+        n43 = safepow(ns, 4.0 / 3.0, rho_eps(ns))
+        x = jnp.sqrt(jnp.maximum(sigma_ss, sig_eps(sigma_ss))) / n43
         cx = (3.0 / 2.0) * (3.0 / (4.0 * np.pi)) ** (1.0 / 3.0)
         e_lda = -cx * n43
         corr = -self._BETA * n43 * x * x / (1.0 + 6.0 * self._BETA * x
@@ -109,7 +111,7 @@ class GGA_C_LYP(BaseXC):
     def edens_pol(self, rho_u, rho_d, sigma_uu=None, sigma_ud=None,
                   sigma_dd=None, **kw):
         a, b, c, d = self._A, self._B, self._C, self._D
-        n = jnp.maximum(rho_u + rho_d, _RHO_EPS)
+        n = jnp.maximum(rho_u + rho_d, rho_eps(rho_u))
         nu = jnp.maximum(rho_u, 0.0)
         nd = jnp.maximum(rho_d, 0.0)
         n13 = safepow(n, 1.0 / 3.0)

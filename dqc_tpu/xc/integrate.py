@@ -103,6 +103,14 @@ def density_info(meta, params, dm, coords, family: int, polarized: bool):
 DENS_THRESHOLD = 1e-12
 
 
+def _dens_threshold(dtype):
+    """f32 needs a far larger screen: GGA potential terms scale like
+    rho^(-11/3), which overflows f32 (max ~3e38) for rho below ~1e-8 —
+    the masked lanes would then poison vxc = grad(Exc) with inf*0 NaNs
+    even though the energy primal is protected by the double-where."""
+    return DENS_THRESHOLD if dtype == jnp.float64 else 1e-7
+
+
 def _screen(mask, x, fill=1.0):
     return jnp.where(mask, x, fill)
 
@@ -111,7 +119,7 @@ def _edens_at(xc, dens, polarized: bool, xcparams=None):
     fam = xc.family
     if polarized:
         du, dd = dens["u"], dens["d"]
-        mask = (du["rho"] + dd["rho"]) > DENS_THRESHOLD
+        mask = (du["rho"] + dd["rho"]) > _dens_threshold(du["rho"].dtype)
         kw = {}
         if fam >= 2:
             kw["sigma_uu"] = _screen(mask, jnp.sum(du["grad"] ** 2, axis=-1))
@@ -130,7 +138,7 @@ def _edens_at(xc, dens, polarized: bool, xcparams=None):
         else:
             e = xc.edens_pol(ru, rd, **kw)
         return jnp.where(mask, e, 0.0)
-    mask = dens["rho"] > DENS_THRESHOLD
+    mask = dens["rho"] > _dens_threshold(dens["rho"].dtype)
     kw = {}
     if fam >= 2:
         kw["sigma"] = _screen(mask, jnp.sum(dens["grad"] ** 2, axis=-1))

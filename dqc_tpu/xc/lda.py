@@ -10,19 +10,19 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..utils.safeops import safepow
+from ..utils.safeops import safepow, rho_eps
 from .base import BaseXC
 
 _RHO_EPS = 1e-28
 
 
 def _rs(n):
-    return (3.0 / (4.0 * np.pi * jnp.maximum(n, _RHO_EPS))) ** (1.0 / 3.0)
+    return (3.0 / (4.0 * np.pi * jnp.maximum(n, rho_eps(n)))) ** (1.0 / 3.0)
 
 
 def _zeta(nu, nd):
     n = nu + nd
-    return (nu - nd) / jnp.maximum(n, _RHO_EPS)
+    return (nu - nd) / jnp.maximum(n, rho_eps(n))
 
 
 class LDA_X(BaseXC):
@@ -32,11 +32,11 @@ class LDA_X(BaseXC):
 
     def edens_pol(self, rho_u, rho_d, **kw):
         c = self._CX * 2.0 ** (1.0 / 3.0)
-        return -c * (safepow(rho_u, 4.0 / 3.0, _RHO_EPS)
-                     + safepow(rho_d, 4.0 / 3.0, _RHO_EPS))
+        return -c * (safepow(rho_u, 4.0 / 3.0, rho_eps(rho_u))
+                     + safepow(rho_d, 4.0 / 3.0, rho_eps(rho_d)))
 
     def edens_unpol(self, rho, **kw):
-        return -self._CX * safepow(rho, 4.0 / 3.0, _RHO_EPS)
+        return -self._CX * safepow(rho, 4.0 / 3.0, rho_eps(rho))
 
 
 def _pw92_G(rs, A, a1, b1, b2, b3, b4):

@@ -38,13 +38,19 @@ def test_edipole_vs_cccbdb(h2o_qc):
     assert abs(mu[0]) < 1e-8 and abs(mu[1]) < 1e-8
 
 
-def test_ir_intensities_finite(h2o_qc):
-    freqs, inten = ir_spectrum(h2o_qc)
-    v = np.asarray(inten)
-    assert np.isfinite(v).all()
-    assert (v >= 0).all()
-    # the bend (strongest band at HF level) carries clear intensity
-    assert v[2] > 1e-6
+def test_ir_intensities_vs_cccbdb(h2o_qc):
+    freqs, inten = ir_spectrum(h2o_qc, ints_unit="km/mol")
+    v = np.asarray(inten)[:3]
+    # CCCBDB H2O HF/3-21G (same oracle as reference test_properties.py:79)
+    np.testing.assert_allclose(v, [9.123, 4.7e-2, 79.89], rtol=1e-2)
+
+
+def test_raman_vs_cccbdb(h2o_qc):
+    from dqc_tpu.api.properties import raman_spectrum
+    freqs, act = raman_spectrum(h2o_qc, ints_unit="angst^4/amu")
+    v = np.asarray(act)[:3]
+    # CCCBDB H2O HF/3-21G (reference test_properties.py:88, rtol 1e-3)
+    np.testing.assert_allclose(v, [44.12, 95.71, 11.5], rtol=1e-3)
 
 
 def test_is_orb_min(h2o_qc):

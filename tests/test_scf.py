@@ -119,3 +119,19 @@ def test_variational_matches_scf():
     e_scf = float(dqc_tpu.HF(mol).run().energy())
     e_var = float(dqc_tpu.HF(mol, variational=True).run().energy())
     assert abs(e_scf - e_var) < 1e-8
+
+
+def test_host_loop_matches_device_solver():
+    """Host-driven DIIS (large-system path, compiles one SCF iteration)
+    agrees with the all-device while_loop program."""
+    import dqc_tpu
+    from dqc_tpu.scf.qccalc import SCF_QCCalc
+    mol = dqc_tpu.Mol("H 0 0 0; H 1.0 0 0", basis="3-21g")
+    e_dev = float(dqc_tpu.HF(mol).run().energy())
+    old = SCF_QCCalc.HOST_LOOP_NAO
+    try:
+        SCF_QCCalc.HOST_LOOP_NAO = 1
+        e_host = float(dqc_tpu.HF(mol).run().energy())
+    finally:
+        SCF_QCCalc.HOST_LOOP_NAO = old
+    assert abs(e_dev - e_host) < 1e-9
