@@ -141,3 +141,35 @@ def eval_ao_pbc(meta: BasisMeta, params, coords, ls, deriv: int = 0,
                for k, v in tabs.items()}
         acc = red if acc is None else {k: acc[k] + red[k] for k in acc}
     return acc
+
+
+def eval_ao_pbc_k(meta: BasisMeta, params, coords, ls, kpts,
+                  deriv: int = 0, shift_block: int = 24):
+    """Bloch AO tables phi^k_i(r) = sum_T e^{ik.T} phi_i(r - T).
+
+    kpts: (nk, 3) host numpy. Returns dict of (re, im) pairs:
+      'ao': ((nk, ng, nao), (nk, ng, nao)); 'ao_grad' adds a dim-3 axis.
+    """
+    import numpy as _np
+    ls = _np.asarray(ls)
+    kpts = _np.asarray(kpts)
+    nL = len(ls)
+    ng = coords.shape[0]
+    acc = None
+    for s0 in range(0, nL, shift_block):
+        Tc_np = ls[s0:s0 + shift_block]
+        Tc = jnp.asarray(Tc_np)
+        nb = Tc.shape[0]
+        c2 = (coords[None, :, :] - Tc[:, None, :]).reshape(nb * ng, 3)
+        tabs = eval_ao(meta, params, c2, deriv=deriv)
+        ck = jnp.asarray(_np.cos(kpts @ Tc_np.T))   # (nk, nb)
+        sk = jnp.asarray(_np.sin(kpts @ Tc_np.T))
+        red = {}
+        for key, v in tabs.items():
+            vb = v.reshape((nb, ng) + v.shape[1:])
+            re = jnp.einsum("kb,b...->k...", ck, vb)
+            im = jnp.einsum("kb,b...->k...", sk, vb)
+            red[key] = (re, im)
+        acc = red if acc is None else {
+            k: (acc[k][0] + red[k][0], acc[k][1] + red[k][1]) for k in acc}
+    return acc

@@ -235,3 +235,102 @@ def eval_ao_ft(meta: BasisMeta, params, Gv, g_block: int = 2048):
         out_re = out_re.at[:, idx].set(fre.reshape(ng, -1))
         out_im = out_im.at[:, idx].set(fim.reshape(ng, -1))
     return out_re, out_im
+
+
+def pbc_pair_plan_ordered(meta: BasisMeta, params_np, lattice,
+                          precision: float = 1e-9):
+    """Like pbc_pair_plan but over ALL ordered shell pairs (needed at
+    k != 0, where the two AO orders are independent: Q^k_ji != Q^k_ij)."""
+    from .pbc import estimate_rcut
+    from .shellstruct import all_pair_classes
+    rcut = estimate_rcut(meta, params_np, precision)
+    ls = lattice.get_lattice_ls(rcut)
+    pos = np.asarray(params_np["atompos"])
+    logp = -np.log(precision)
+    plan = []
+    for pc in all_pair_classes(meta):
+        A_cls, B_cls = meta.classes[pc.ca], meta.classes[pc.cb]
+        aa = np.asarray(params_np["alphas"][pc.ca])[pc.ia]
+        ab = np.asarray(params_np["alphas"][pc.cb])[pc.ib]
+        mu_min = (aa.min(axis=1) * ab.min(axis=1)
+                  / (aa.min(axis=1) + ab.min(axis=1)))
+        A = pos[np.asarray(A_cls.atom_ids)[pc.ia]]
+        B = pos[np.asarray(B_cls.atom_ids)[pc.ib]]
+        d2 = np.sum(((A - B)[:, None, :] - ls[None, :, :]) ** 2, axis=-1)
+        keep = mu_min[:, None] * d2 < logp
+        q, t = np.nonzero(keep)
+        plan.append((pc, q.astype(np.int64), ls[t]))
+    return plan
+
+
+def pbc_pair_ft_k(meta: BasisMeta, params, plan, Gv, kpts,
+                  g_block: int = 512):
+    """Bloch pair FT  Q^k_ij(G) = sum_T e^{ik.T} <phi_i|e^{-iG.r}|phi_j(.-T)>
+    = integral over the cell of phi^k_i(r)^* phi^k_j(r) e^{-iG.r}
+    (phi^k = lattice-summed Bloch AO).
+
+    plan: from pbc_pair_plan_ordered. kpts: (nk, 3) host numpy.
+    Returns (Qre, Qim): (nk, ng, nao, nao) real f64 arrays.
+
+    Parity: the k-resolved analog of the reference's pbcft_overlap
+    (pbcftintor.py:197-219), differentiable unlike the C path."""
+    nao = meta.nao
+    ng = Gv.shape[0]
+    nk = len(kpts)
+    kpts = np.asarray(kpts)
+    Gv_j = jnp.asarray(Gv)
+    out_re = jnp.zeros((nk, ng, nao * nao), dtype=jnp.float64)
+    out_im = jnp.zeros((nk, ng, nao * nao), dtype=jnp.float64)
+
+    for pc, qidx, shifts in plan:
+        if len(qidx) == 0:
+            continue
+        inp = gather_pair_inputs(meta, params, pc)
+        q = jnp.asarray(qidx)
+        ext = {
+            "A": inp["A"][q], "B": inp["B"][q] + jnp.asarray(shifts),
+            "aa": inp["aa"][q], "ab": inp["ab"][q],
+            "ca": inp["ca"][q], "cb": inp["cb"][q],
+            "la": inp["la"], "lb": inp["lb"],
+        }
+        bra = hermite_factor_pair(ext)
+        nsph = bra.H.shape[2]
+
+        def body(args, bra=bra):
+            Gc = args
+            Wre, Wim = gpow_table(bra.L, Gc)
+            Tre = jnp.einsum("pksh,gh->pksg", bra.H, Wre)
+            Tim = jnp.einsum("pksh,gh->pksg", bra.H, Wim)
+            g2 = jnp.sum(Gc * Gc, axis=-1)
+            damp = ((jnp.pi / bra.p[..., None]) ** 1.5
+                    * jnp.exp(-g2[None, None, :] / (4.0 * bra.p[..., None])))
+            ph = jnp.einsum("pkd,gd->pkg", bra.P, Gc)
+            c = damp * jnp.cos(ph)
+            s = damp * jnp.sin(ph)
+            fre = (jnp.einsum("pkg,pksg->gps", c, Tre)
+                   + jnp.einsum("pkg,pksg->gps", s, Tim))
+            fim = (jnp.einsum("pkg,pksg->gps", c, Tim)
+                   - jnp.einsum("pkg,pksg->gps", s, Tre))
+            return fre, fim
+
+        fre, fim = map_blocks(body, Gv_j, ng, g_block)   # (ng, nsel, nsph)
+
+        npair = pc.npair
+        seg = jnp.asarray(qidx)
+        idx = jnp.asarray(pair_ao_indices(meta, pc).ravel())
+        kdot = kpts @ shifts.T                            # (nk, nsel)
+        for k in range(nk):
+            ck = jnp.asarray(np.cos(kdot[k]))
+            sk = jnp.asarray(np.sin(kdot[k]))
+            # e^{ikT} (fre + i fim)
+            qre = jnp.zeros((ng, npair, nsph)).at[:, seg, :].add(
+                ck[None, :, None] * fre - sk[None, :, None] * fim)
+            qim = jnp.zeros((ng, npair, nsph)).at[:, seg, :].add(
+                ck[None, :, None] * fim + sk[None, :, None] * fre)
+            out_re = out_re.at[k, :, idx].add(
+                qre.reshape(ng, -1).T)
+            out_im = out_im.at[k, :, idx].add(
+                qim.reshape(ng, -1).T)
+
+    return (out_re.reshape(nk, ng, nao, nao),
+            out_im.reshape(nk, ng, nao, nao))

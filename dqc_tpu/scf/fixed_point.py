@@ -59,7 +59,10 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         return (jax.flatten_util.ravel_pytree(f_new)[0],
                 jax.flatten_util.ravel_pytree(e_new)[0])
 
-    ne = step_flat(f0_flat)[1].shape[0]
+    e_probe = jax.eval_shape(lambda ff: step_flat(ff)[1], f0_flat)
+    ne = e_probe.shape[0]
+    e_dtype = e_probe.dtype          # real even when the state is complex
+    r_dtype = jnp.finfo(f0_flat.dtype).dtype
 
     def body(state):
         it, ff, fhist, ehist, nfill, _ = state
@@ -84,14 +87,14 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         Bn = jnp.where(mask2, Bn, jnp.where(
             jnp.eye(H, dtype=bool), 1.0, 0.0))
         ones = jnp.where(filled, 1.0, 0.0)
-        A = jnp.zeros((H + 1, H + 1), dtype=ff.dtype)
+        A = jnp.zeros((H + 1, H + 1), dtype=e_dtype)
         A = A.at[:H, :H].set(Bn)
         A = A.at[:H, H].set(ones)
         A = A.at[H, :H].set(ones)
-        rhs = jnp.zeros((H + 1,), dtype=ff.dtype).at[H].set(1.0)
+        rhs = jnp.zeros((H + 1,), dtype=e_dtype).at[H].set(1.0)
         # symmetric-eigh solve: TPU implements f64 eigh but not f64 LU
         ew, ev = jnp.linalg.eigh(A)
-        cutoff = 100 * jnp.finfo(ff.dtype).eps * jnp.max(jnp.abs(ew))
+        cutoff = 100 * jnp.finfo(e_dtype).eps * jnp.max(jnp.abs(ew))
         inv_w = jnp.where(jnp.abs(ew) > cutoff, 1.0 / ew, 0.0)
         c = (ev @ (inv_w * (ev.T @ rhs)))[:H] * filled
         f_diis = c @ fhist
@@ -104,8 +107,8 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         return (it < opts.maxiter) & (errnorm > opts.tol)
 
     fhist0 = jnp.zeros((H, n), dtype=f0_flat.dtype)
-    ehist0 = jnp.zeros((H, ne), dtype=f0_flat.dtype)
-    state0 = (0, f0_flat, fhist0, ehist0, 0, jnp.asarray(1e9, f0_flat.dtype))
+    ehist0 = jnp.zeros((H, ne), dtype=e_dtype)
+    state0 = (0, f0_flat, fhist0, ehist0, 0, jnp.asarray(1e9, r_dtype))
     it, ff, _, _, _, errnorm = jax.lax.while_loop(cond, body, state0)
     return unravel(ff), it, errnorm
 

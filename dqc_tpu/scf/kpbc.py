@@ -1,0 +1,251 @@
+"""k-point PBC Kohn-Sham (restricted, pure functionals).
+
+The k-resolved analog of scf/pbc.py, covering the reference's
+(nkpts, nao, nao) complex Hamiltonian tensors
+(/root/reference/dqc/hamilton/hcgto_pbc.py:54-60, 243-260). All
+electrostatics are assembled in G-space from the Bloch pair FT
+Q^k_ij(G) = int_cell phi^k_i(r)* phi^k_j(r) e^{-iG.r} dr (ops/pbcft.py):
+
+  rho(G)   = sum_k w_k tr(dm^k Q^k(G))            (dm_ij = sum_n f c_i c_j*)
+  J^k      = sum_G w_G rho(G) Q^k(-G)
+  Vne^k    = sum_G w_G n_nuc(G) Q^k(-G)
+  E_J      = 1/2 sum_G w_G |rho(G)|^2
+
+XC runs on the real density from Bloch AO tables; V^k_xc is assembled
+from the pointwise potentials v_rho/v_sigma obtained by jax.grad of the
+energy density (the reference's potinfo chain, hcgto.py:445-495, done by
+AD). The k axis is a clean batch axis — SURVEY §2.10 maps it to the
+expert-parallel analog (shard nkpts, psum the G-space density).
+
+Validated by backend-free invariants (tests/test_pbc.py): the gamma-only
+k-engine matches the dedicated gamma path, and an N-point k-mesh on the
+primitive cell matches the N-fold supercell at gamma (Bloch theorem).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.aoeval import eval_ao_pbc_k
+from ..ops.chunks import map_blocks
+from ..ops.pbc import estimate_rcut, pbc_kinetic, pbc_overlap
+from ..ops.pbcft import (coulomb_gweights, gcut_estimate, pbc_pair_ft_k,
+                         pbc_pair_plan_ordered)
+from ..system.lattice import ewald_energy
+from .orth import LARGE
+
+
+def _neg_g_index(Gv):
+    """Host map: index of -G for every G in the (symmetric) set."""
+    key = {tuple(np.round(g, 9)): i for i, g in enumerate(Gv)}
+    return np.array([key[tuple(np.round(-g, 9))] for g in Gv], dtype=np.int64)
+
+
+def _c(re, im):
+    return re + 1j * im
+
+
+def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
+                     family: int = 1):
+    """params -> theta for the k-point PBC SCF (complex tensors)."""
+    meta = sol.meta
+    lat = sol.lattice
+    kpts = np.asarray(sol.kpts)
+    rcut = estimate_rcut(meta, sol.params, precision)
+    ls = lat.get_lattice_ls(rcut)
+    S = pbc_overlap(meta, params, ls, kpts)          # (nk, nao, nao) complex
+    T = pbc_kinetic(meta, params, ls, kpts)
+
+    gcut = gcut_estimate(meta, sol.params, precision)
+    Gv, _ = lat.get_gvgrids(gcut)
+    negG = jnp.asarray(_neg_g_index(Gv))
+    plan = pbc_pair_plan_ordered(meta, sol.params, lat, precision)
+    Qre, Qim = pbc_pair_ft_k(meta, params, plan, Gv, kpts)
+    w = coulomb_gweights(Gv, lat.volume())
+
+    # nuclear attraction: Vne^k = sum_G w_G n_nuc(G) Q^k(-G)
+    ph = jnp.einsum("gd,ad->ga", jnp.asarray(Gv), params["atompos"])
+    z = jnp.asarray(atomzs)
+    nre = -jnp.einsum("a,ga->g", z, jnp.cos(ph))
+    nim = jnp.einsum("a,ga->g", z, jnp.sin(ph))
+    QreN, QimN = Qre[:, negG], Qim[:, negG]
+    vne_re = (jnp.einsum("g,kgij->kij", w * nre, QreN)
+              - jnp.einsum("g,kgij->kij", w * nim, QimN))
+    vne_im = (jnp.einsum("g,kgij->kij", w * nre, QimN)
+              + jnp.einsum("g,kgij->kij", w * nim, QreN))
+
+    # per-k orthogonalizer (complex hermitian eigh)
+    ws, vs = jnp.linalg.eigh(S)
+    keep = ws > 1e-9 * ws[:, -1:]
+    inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, ws, 1.0)), 0.0)
+    X = vs * inv_sqrt[:, None, :]
+
+    # Bloch AO tables on the cell-wrapped Becke grid
+    pbcgrid = sol.setup_grid()
+    ls_ao = lat.get_lattice_ls(estimate_rcut(meta, sol.params, 1e-8))
+    atompos = params["atompos"]
+    aidx = jnp.asarray(pbcgrid.atom_idx.astype(np.int64))
+    coords = (atompos[aidx]
+              + jnp.asarray(pbcgrid.ratom)[:, None] * jnp.asarray(pbcgrid.dirs)
+              + jnp.asarray(pbcgrid.shift))
+    from ..grid.becke import becke_weights
+    vpos = atompos[jnp.asarray(pbcgrid.vowner)] + jnp.asarray(pbcgrid.vshift)
+    vradii = jnp.asarray(pbcgrid.atom_radii)[jnp.asarray(pbcgrid.vowner)]
+    vidx = jnp.asarray(pbcgrid.vatom_idx)
+    ng = coords.shape[0]
+    w_becke = map_blocks(
+        jax.checkpoint(
+            lambda a: becke_weights(a["c"], a["i"], vpos, vradii)),
+        {"c": coords, "i": vidx}, ng, 512)
+    deriv = 0 if family <= 1 else 1
+
+    def ao_body(c):
+        t = eval_ao_pbc_k(meta, params, c, ls_ao, kpts, deriv=deriv)
+        # chunk axis must lead for map_blocks; k axis restored below
+        return {k: (re.swapaxes(0, 1), im.swapaxes(0, 1))
+                for k, (re, im) in t.items()}
+
+    tabs = map_blocks(jax.checkpoint(ao_body), coords, ng, 2048)
+    grid = {"dvol": jnp.asarray(pbcgrid.w0) * w_becke}
+    grid["ao"] = tuple(x.swapaxes(0, 1) for x in tabs["ao"])
+    if deriv >= 1:
+        grid["ao_grad"] = tuple(x.swapaxes(0, 1) for x in tabs["ao_grad"])
+
+    return {
+        "hcore": T + _c(vne_re, vne_im),
+        "ovlp": S,
+        "X": X,
+        "keep": keep,
+        "enuc": ewald_energy(atomzs, params["atompos"], lat),
+        "Qre": Qre, "Qim": Qim, "wcoul": w, "negG": negG,
+        "wk": jnp.full((len(kpts),), 1.0 / len(kpts)),
+        "grid": grid,
+    }
+
+
+class KPBCEngine:
+    """Restricted k-point KS with LDA/GGA (no exact exchange, parity:
+    reference hcgto_pbc.py:183-185). State: dm (nk, nao, nao) complex,
+    carried through DIIS as a re/im-split real pytree."""
+
+    polarized = False
+    supports_mixed = False      # complex128 state; no f32 pre-phase
+
+    def __init__(self, xc, nk: int, nao: int):
+        self.xc = xc
+        self.nk = nk
+        self.nao = nao
+        if getattr(xc, "exx_fraction", 0.0) != 0.0:
+            raise NotImplementedError("no PBC exact exchange")
+
+    # --- density in G-space & J -----------------------------------------
+    def _rho_g(self, dm, theta):
+        Q = _c(theta["Qre"], theta["Qim"])
+        return jnp.einsum("k,kij,kgji->g", theta["wk"].astype(dm.dtype),
+                          dm, Q)
+
+    def _j(self, dm, theta):
+        rho = self._rho_g(dm, theta)
+        Qn = _c(theta["Qre"], theta["Qim"])[:, theta["negG"]]
+        return jnp.einsum("g,kgij->kij", theta["wcoul"] * rho, Qn)
+
+    # --- real-space density & XC ----------------------------------------
+    def _dens(self, dm, theta):
+        are, aim = theta["grid"]["ao"]                  # (nk, ng, nao)
+        wk = theta["wk"].astype(dm.dtype)
+        # rho = sum_k w_k Re sum_ij dm_ij phi_i phibar_j
+        phi = _c(are, aim)
+        out = {"rho": jnp.real(jnp.einsum("k,kij,kgi,kgj->g", wk, dm,
+                                          phi, jnp.conj(phi)))}
+        if self.xc.family >= 2:
+            gre, gim = theta["grid"]["ao_grad"]         # (nk, ng, 3, nao)
+            gphi = _c(gre, gim)
+            Ag = jnp.einsum("k,kij,kgdi,kgj->gd", wk, dm, gphi,
+                            jnp.conj(phi))
+            out["grad"] = 2.0 * jnp.real(Ag)
+        return out
+
+    def init_dm(self):
+        nk, nao = self.nk, self.nao
+        return jnp.zeros((nk, nao, nao), dtype=jnp.complex128)
+
+    def _exc_and_pots(self, dm, theta):
+        """E_xc plus pointwise potentials v_rho (ng,) and v_sigma (ng,)."""
+        from ..xc.integrate import _dens_threshold
+        dens = self._dens(dm, theta)
+        dvol = theta["grid"]["dvol"]
+        rho = dens["rho"]
+        mask = rho > _dens_threshold(rho.dtype)
+        rho_s = jnp.where(mask, rho, 1.0)
+        if self.xc.family >= 2:
+            sigma = jnp.sum(dens["grad"] ** 2, axis=-1)
+            sig_s = jnp.where(mask, sigma, 1.0)
+
+            def e_of(r, s):
+                return jnp.sum(dvol * jnp.where(
+                    mask, self.xc.edens_unpol(r, sigma=s), 0.0))
+
+            exc, (v_rho, v_sigma) = jax.value_and_grad(
+                e_of, argnums=(0, 1))(rho_s, sig_s)
+            v_rho = v_rho / dvol
+            v_sigma = v_sigma / dvol
+            return exc, jnp.where(mask, v_rho, 0.0), \
+                jnp.where(mask, v_sigma, 0.0), dens
+        else:
+            def e_of(r):
+                return jnp.sum(dvol * jnp.where(
+                    mask, self.xc.edens_unpol(r), 0.0))
+            exc, v_rho = jax.value_and_grad(e_of)(rho_s)
+            return exc, jnp.where(mask, v_rho / dvol, 0.0), None, dens
+
+    def _vxc(self, dm, theta):
+        exc, v_rho, v_sigma, dens = self._exc_and_pots(dm, theta)
+        are, aim = theta["grid"]["ao"]
+        phi = _c(are, aim)
+        dvol = theta["grid"]["dvol"]
+        # V^k_ij = int v_rho phibar_i phi_j dvol
+        v = jnp.einsum("g,kgi,kgj->kij", v_rho * dvol, jnp.conj(phi), phi)
+        if v_sigma is not None:
+            gre, gim = theta["grid"]["ao_grad"]
+            gphi = _c(gre, gim)
+            gr = dens["grad"]                            # (ng, 3)
+            wg = (2.0 * v_sigma * dvol)[:, None] * gr    # (ng, 3)
+            t = jnp.einsum("gd,kgdi,kgj->kij", wg, jnp.conj(gphi), phi)
+            v = v + t + jnp.conj(jnp.swapaxes(t, -1, -2))
+        return exc, v
+
+    # --- SCF pieces -------------------------------------------------------
+    def fock(self, dm, theta):
+        _, v = self._vxc(dm, theta)
+        return theta["hcore"] + self._j(dm, theta) + v
+
+    def dm_from_fock(self, fock, theta):
+        X = theta["X"]
+        fp = jnp.einsum("kim,kij,kjn->kmn", jnp.conj(X), fock, X)
+        pin = jnp.where(theta["keep"], 0.0, LARGE).astype(fp.dtype)
+        eye = jnp.eye(pin.shape[-1], dtype=fp.dtype)
+        fp = fp + pin[:, :, None] * eye[None]
+        w, u = jnp.linalg.eigh(fp)
+        c = jnp.einsum("kij,kjn->kin", X, u)
+        occ = theta["occ"]                               # (nao,)
+        return jnp.einsum("kin,n,kjn->kij", c, occ.astype(jnp.float64),
+                          jnp.conj(c))
+
+    def step(self, dm, theta):
+        return self.dm_from_fock(self.fock(dm, theta), theta)
+
+    def energy(self, dm, theta):
+        e1 = jnp.real(jnp.einsum("k,kij,kji->", theta["wk"].astype(dm.dtype),
+                                 theta["hcore"], dm))
+        rho = self._rho_g(dm, theta)
+        ej = 0.5 * jnp.sum(theta["wcoul"] * jnp.abs(rho) ** 2)
+        exc, _, _, _ = self._exc_and_pots(dm, theta)
+        return e1 + ej + exc + theta["enuc"]
+
+    def diis_err(self, fock, dm, theta):
+        s, X = theta["ovlp"], theta["X"]
+        fds = jnp.einsum("kij,kjl,klm->kim", fock, dm, s)
+        comm = fds - jnp.conj(jnp.swapaxes(fds, -1, -2))
+        e = jnp.einsum("kim,kij,kjn->kmn", jnp.conj(X), comm, X)
+        return {"re": jnp.real(e), "im": jnp.imag(e)}

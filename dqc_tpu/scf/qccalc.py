@@ -58,7 +58,8 @@ class SCF_QCCalc:
         dm_start = dm0
         # MGGAs (SCAN) overflow f32 in their iso-orbital indicator
         # exponentials; keep those all-f64
-        mixed_ok = getattr(getattr(eng, "xc", None), "family", 1) <= 2
+        mixed_ok = (getattr(getattr(eng, "xc", None), "family", 1) <= 2
+                    and getattr(eng, "supports_mixed", True))
         if opts.mixed and mixed_ok:
             # f32 pre-phase: the heavy per-iteration work (J/K contraction,
             # eigh) runs at native MXU throughput; the f64 phase below owns
@@ -166,7 +167,8 @@ class SCF_QCCalc:
                     break
             return f
 
-        mixed_ok = getattr(getattr(eng, "xc", None), "family", 1) <= 2
+        mixed_ok = (getattr(getattr(eng, "xc", None), "family", 1) <= 2
+                    and getattr(eng, "supports_mixed", True))
         if opts.mixed and mixed_ok:
             import jax.tree_util as jtu
             theta32 = jax.jit(lambda th: jtu.tree_map(
@@ -189,9 +191,13 @@ class SCF_QCCalc:
         theta = self._build_theta(params)
         eng = self.engine
         # core-hamiltonian ("1e") initial guess (reference scf_qccalc.py:85-93)
-        shape = ((2, self.mol.meta.nao, self.mol.meta.nao)
-                 if eng.polarized else (self.mol.meta.nao, self.mol.meta.nao))
-        dm0 = jnp.zeros(shape, dtype=jnp.float64)
+        if hasattr(eng, "init_dm"):
+            dm0 = eng.init_dm()
+        else:
+            shape = ((2, self.mol.meta.nao, self.mol.meta.nao)
+                     if eng.polarized
+                     else (self.mol.meta.nao, self.mol.meta.nao))
+            dm0 = jnp.zeros(shape, dtype=jnp.float64)
 
         def step(dm, th):
             return eng.step(dm, th)
@@ -378,9 +384,37 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
                       opts=opts or SCFOptions())
 
 
+def _kpbc_ks(sol, xc, *, opts=None):
+    """k-point PBC Kohn-Sham (restricted; scf/kpbc.py)."""
+    from ..xc import get_xc
+    from ..utils.safeops import occnumber
+    from .kpbc import KPBCEngine, build_kpbc_theta
+    if isinstance(xc, str):
+        xc = get_xc(xc)
+    if sol.polarized:
+        raise NotImplementedError(
+            "k-point SCF is restricted closed-shell for now; use gamma "
+            "sampling (kpts=None) for spin-polarized cells")
+    nup, _ = sol.nelec
+    occ = 2.0 * occnumber(nup, sol.meta.nao)
+    engine = KPBCEngine(xc, nk=len(sol.kpts), nao=sol.meta.nao)
+
+    def build_theta(params):
+        th = build_kpbc_theta(sol, params["basis"], params["atomzs"],
+                              family=xc.family)
+        th["occ"] = occ
+        return th
+
+    return SCF_QCCalc(sol, engine, build_theta=build_theta,
+                      opts=opts or SCFOptions(mixed=False))
+
+
 def _pbc_ks(sol, xc, *, restricted=None, opts=None):
     """Gamma-point PBC Kohn-Sham (parity: reference KS over Sol + GDF,
     test_ks.py:555-570; here AFT G-space Coulomb, scf/pbc.py)."""
+    import numpy as _np
+    if len(sol.kpts) > 1 or _np.abs(_np.asarray(sol.kpts)).max() > 1e-12:
+        return _kpbc_ks(sol, xc, opts=opts)
     from ..xc import get_xc
     from ..ops.pbc import estimate_rcut
     from .pbc import build_pbc_core_theta, setup_pbc_grid_theta

@@ -100,3 +100,32 @@ def test_pbc_ks_energy(xc, eref):
     qc = dqc_tpu.KS(sol, xc=xc).run()
     e = float(qc.energy())
     assert abs(e - eref) < 1e-3 * abs(eref)
+
+
+def test_kpoint_gamma_matches_gamma_engine():
+    """The complex k-point engine at k~Gamma reproduces the real
+    gamma-point path exactly."""
+    import dqc_tpu
+    a = np.eye(3) * 3.0
+    s1 = Sol("He 0 0 0", a, basis="sto-3g", grid="sg2")
+    e_gamma = float(dqc_tpu.KS(s1, xc="lda_x").run().energy())
+    s2 = Sol("He 0 0 0", a, basis="sto-3g", grid="sg2",
+             kpts=np.array([[1e-13, 0.0, 0.0]]))
+    e_k = float(dqc_tpu.KS(s2, xc="lda_x").run().energy())
+    assert abs(e_k - e_gamma) < 1e-10
+
+
+def test_kpoint_supercell_invariant():
+    """Bloch theorem: N-point k-mesh on the primitive cell == N-fold
+    supercell at gamma (per cell). Backend-free oracle for the whole
+    k-point pipeline (pair FT phases, complex SCF, k-summed density)."""
+    import dqc_tpu
+    a = 3.0
+    kpts = np.array([[0.0, 0.0, 0.0], [np.pi / a, 0.0, 0.0]])
+    s1 = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", grid="sg2",
+             kpts=kpts)
+    e_k = float(dqc_tpu.KS(s1, xc="lda_x").run().energy())
+    s2 = Sol(f"He 0 0 0; He {a} 0 0", np.diag([2 * a, a, a]),
+             basis="sto-3g", grid="sg2")
+    e_sc = float(dqc_tpu.KS(s2, xc="lda_x").run().energy())
+    assert abs(e_k - e_sc / 2) < 1e-6
