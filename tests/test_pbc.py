@@ -129,3 +129,27 @@ def test_kpoint_supercell_invariant():
              basis="sto-3g", grid="sg2")
     e_sc = float(dqc_tpu.KS(s2, xc="lda_x").run().energy())
     assert abs(e_k - e_sc / 2) < 1e-6
+
+
+def test_eval_ao_ft_vs_numeric():
+    """Analytic single-AO Fourier transform (ops/pbcft.eval_ao_ft, parity:
+    reference eval_gto_ft) vs brute-force cube-grid quadrature, covering s
+    and p functions."""
+    import jax.numpy as jnp
+    import dqc_tpu
+    from dqc_tpu.ops.pbcft import eval_ao_ft
+    from dqc_tpu.ops.aoeval import eval_ao
+    m = dqc_tpu.Mol("C 0 0 0", basis="sto-3g")
+    Gv = np.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0], [0.3, -0.2, 0.7]])
+    re, im = eval_ao_ft(m.meta, m.params, Gv)
+    n = 101
+    x = np.linspace(-7.0, 7.0, n)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    pts = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    ao = np.asarray(eval_ao(m.meta, m.params, jnp.asarray(pts))["ao"])
+    dv = (x[1] - x[0]) ** 3
+    for g in range(3):
+        ph = np.exp(-1j * pts @ Gv[g])
+        num = (ao * ph[:, None]).sum(0) * dv
+        np.testing.assert_allclose(num.real, np.asarray(re)[g], atol=2e-4)
+        np.testing.assert_allclose(num.imag, np.asarray(im)[g], atol=2e-4)
