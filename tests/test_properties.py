@@ -55,3 +55,24 @@ def test_raman_vs_cccbdb(h2o_qc):
 
 def test_is_orb_min(h2o_qc):
     assert is_orb_min(h2o_qc)
+
+
+def test_optimal_geometry_h2():
+    """BFGS geometry optimization with implicit-diff forces reproduces the
+    HF/3-21G H2 equilibrium bond length (CCCBDB: 0.7348 angst = 1.3886 a0)."""
+    from dqc_tpu.api.properties import optimal_geometry
+    mol = dqc_tpu.Mol("H 0 0 0; H 1.3 0 0", basis="3-21G")
+    qc = dqc_tpu.HF(mol).run()
+    pos = np.asarray(optimal_geometry(qc))
+    d = np.linalg.norm(pos[1] - pos[0])
+    assert abs(d - 1.3886) < 2e-3
+
+
+def test_equadrupole_h2o(h2o_qc):
+    """Quadrupole tensor: symmetric, with the expected sign structure for
+    water in this orientation (O at +z, H below)."""
+    q = np.asarray(equadrupole(h2o_qc))
+    np.testing.assert_allclose(q, q.T, atol=1e-7)
+    # principal components are O(1) a.u. and distinct
+    w = np.linalg.eigvalsh(q)
+    assert np.all(np.abs(w) < 20.0) and w[2] - w[0] > 0.1
