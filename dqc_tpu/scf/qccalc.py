@@ -395,6 +395,9 @@ def _kpbc_ks(sol, xc, *, opts=None):
         raise NotImplementedError(
             "k-point SCF is restricted closed-shell for now; use gamma "
             "sampling (kpts=None) for spin-polarized cells")
+    if xc.family > 2:
+        raise NotImplementedError(
+            "k-point SCF supports LDA/GGA functionals (no MGGA tables yet)")
     nup, _ = sol.nelec
     occ = 2.0 * occnumber(nup, sol.meta.nao)
     engine = KPBCEngine(xc, nk=len(sol.kpts), nao=sol.meta.nao)

@@ -21,7 +21,10 @@ class _Config:
     # Schwarz screening threshold for ERI quartets
     SCREEN_THRESHOLD: float = 1e-13
     # verbosity: 0 silent, 1 progress lines, 2 debug
-    VERBOSE: int = 0
+    VERBOSE: int = 0    # overridden by env DQC_TPU_VERBOSE at import
 
 
 config = _Config()
+
+import os as _os
+config.VERBOSE = int(_os.environ.get("DQC_TPU_VERBOSE", config.VERBOSE))
