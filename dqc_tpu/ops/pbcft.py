@@ -113,7 +113,6 @@ def pbc_pair_ft(meta: BasisMeta, params, plan, Gv, g_block: int = 512):
             "la": inp["la"], "lb": inp["lb"],
         }
         bra = hermite_factor_pair(ext)   # H:(ns,kk,nsph,nh) p:(ns,kk) P:(ns,kk,3)
-        nsel = bra.H.shape[0]
         nsph = bra.H.shape[2]
 
         def body(args, bra=bra):

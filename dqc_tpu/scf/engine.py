@@ -82,12 +82,21 @@ class HFEngine:
     def dm_tot(self, dm):
         return dm.sum(axis=0) if self.polarized else dm
 
-    def fock(self, dm, theta):
+    # fock = fock_from_parts(dm, *jk_parts(dm)) — split so the host-driven
+    # DIIS can compile the quartet-stream J/K and the rest as separate,
+    # much smaller XLA modules (scf/qccalc._host_solve).
+    def jk_parts(self, dm, theta):
         j = self._j(theta, self.dm_tot(dm))
         k = self._k(theta, dm)
+        return j, k
+
+    def fock_from_parts(self, dm, j, k, theta):
         if self.polarized:
             return theta["hcore"][None] + j[None] - k
         return theta["hcore"] + j - 0.5 * k
+
+    def fock(self, dm, theta):
+        return self.fock_from_parts(dm, *self.jk_parts(dm, theta), theta)
 
     def dm_from_fock(self, fock, theta):
         dm, _, _ = orthogonal_fock_to_dm(fock, theta["X"], theta["keep"],
@@ -129,22 +138,29 @@ class KSEngine(HFEngine):
         super().__init__(polarized, jk_info=jk_info)
         self.xc = xc
 
-    def fock(self, dm, theta):
-        from ..xc.integrate import vxc_matrix
+    def jk_parts(self, dm, theta):
         j = self._j(theta, self.dm_tot(dm))
+        k = (self._k(theta, dm) if self.xc.exx_fraction != 0.0 else None)
+        return j, k
+
+    def fock_from_parts(self, dm, j, k, theta):
+        from ..xc.integrate import vxc_matrix
         vxc = vxc_matrix(self.xc, dm, theta["grid"], self.polarized,
                          xcparams=theta.get("xc_params"))
         f = theta["hcore"] + j
         hyb = self.xc.exx_fraction
         if self.polarized:
             f = f[None] + vxc
-            if hyb != 0.0:
-                f = f - hyb * self._k(theta, dm)
+            if k is not None:
+                f = f - hyb * k
         else:
             f = f + vxc
-            if hyb != 0.0:
-                f = f - 0.5 * hyb * self._k(theta, dm)
+            if k is not None:
+                f = f - 0.5 * hyb * k
         return f
+
+    def fock(self, dm, theta):
+        return self.fock_from_parts(dm, *self.jk_parts(dm, theta), theta)
 
     def energy(self, dm, theta):
         from ..xc.integrate import exc_energy

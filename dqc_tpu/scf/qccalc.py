@@ -128,17 +128,29 @@ class SCF_QCCalc:
         nao = self.mol.meta.nao
         shape = ((2, nao, nao) if eng.polarized else (nao, nao))
 
+        # three separate XLA modules per iteration (eigh | quartet-stream
+        # J/K | hcore+vxc+DIIS error): the combined program's compile blew
+        # past the remote TPU AOT compiler's memory/time budget at
+        # def2-SVP scale, and XLA compile cost is superlinear in module
+        # size. Composition overhead is 2 extra dispatches per iteration.
+        jit_dm = jax.jit(eng.dm_from_fock)
+        jit_jk = jax.jit(eng.jk_parts)
+
         @jax.jit
-        def iterate(fock, th):
-            dm = eng.dm_from_fock(fock, th)
-            f_new = eng.fock(dm, th)
+        def jit_rest(dm, j, k, th):
+            f_new = eng.fock_from_parts(dm, j, k, th)
             err = eng.diis_err(f_new, dm, th)
             return f_new, err
 
-        @jax.jit
+        def iterate(fock, th):
+            dm = jit_dm(fock, th)
+            j, k = jit_jk(dm, th)
+            return jit_rest(dm, j, k, th)
+
         def first_fock(th, dtype_probe):
             dm0 = jnp.zeros(shape, dtype=dtype_probe.dtype)
-            return eng.fock(dm0, th)
+            j, k = jit_jk(dm0, th)
+            return jax.jit(eng.fock_from_parts)(dm0, j, k, th)
 
         def diis_phase(th, f0, tol, maxiter, tag):
             from ..utils.logger import log
@@ -177,10 +189,11 @@ class SCF_QCCalc:
             probe = jnp.zeros((), jnp.float32)
             f = diis_phase(theta32, np.asarray(first_fock(theta32, probe)),
                            opts.mixed_tol, opts.mixed_maxiter, "f32")
-            dm32 = jax.jit(eng.dm_from_fock)(
-                jnp.asarray(f, dtype=np.float32), theta32)
-            f0 = np.asarray(jax.jit(eng.fock)(
-                jnp.asarray(dm32, dtype=jnp.float64), theta))
+            dm64 = jnp.asarray(
+                jit_dm(jnp.asarray(f, dtype=np.float32), theta32),
+                dtype=jnp.float64)
+            j, k = jit_jk(dm64, theta)
+            f0 = np.asarray(jit_rest(dm64, j, k, theta)[0])
         else:
             f0 = np.asarray(first_fock(theta, jnp.zeros((), jnp.float64)))
         fstar = diis_phase(theta, f0, opts.tol, opts.maxiter, "f64")
