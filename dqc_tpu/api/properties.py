@@ -46,10 +46,24 @@ def _wrt_atompos(qc):
     return fn, p0["basis"]["atompos"].reshape(-1)
 
 
+def _memo(qc, key, compute):
+    """Per-qc property cache (parity: reference memoize_method,
+    misc.py:20-36) — ir/raman reuse the vibration Hessian instead of
+    recomputing it."""
+    cache = getattr(qc, "_prop_cache", None)
+    if cache is None:
+        cache = qc._prop_cache = {}
+    if key not in cache:
+        cache[key] = compute()
+    return cache[key]
+
+
 def hessian_pos(qc):
     """d2E/dpos2: (natoms*3, natoms*3). Parity: reference properties.py:343."""
-    fn, x0 = _wrt_atompos(qc)
-    return jax.hessian(fn)(x0)
+    def go():
+        fn, x0 = _wrt_atompos(qc)
+        return jax.hessian(fn)(x0)
+    return _memo(qc, "hessian_pos", go)
 
 
 def _mass_vector(qc):
