@@ -42,6 +42,9 @@ class Mol:
     basis: name, Gaussian94 text, dict {Z or symbol: spec}, or list per atom
     spin: 2*S_z (None -> 0 or 1 by electron parity); may be fractional
     charge: total charge; may be fractional (frac Z mode)
+    orb_weights: optional occupation override — SpinParam of (nao,) arrays
+    (polarized) or a (nao,) array (restricted); parity with the reference
+    (mol.py:144-168), e.g. for non-aufbau/excited occupations.
     """
 
     def __init__(self, moldesc, basis: Union[str, dict, list] = "3-21G", *,
@@ -49,6 +52,7 @@ class Mol:
                  charge: Union[int, float] = 0,
                  orthogonalize_basis: bool = True,
                  efield=None,
+                 orb_weights=None,
                  grid: Union[int, str] = "sg3",
                  dtype=jnp.float64):
         self.atomzs, self.atompos = parse_moldesc(moldesc)
@@ -93,6 +97,9 @@ class Mol:
             raise ValueError("spin > number of electrons")
         self.nelec = (nup, ndn)
         self.polarized = float(spin) != 0.0
+        self._orb_weights = orb_weights
+        if isinstance(orb_weights, SpinParam):
+            self.polarized = True
         self.efield = efield
         self.orthogonalize_basis = orthogonalize_basis
         self.grid_level = grid
@@ -119,6 +126,18 @@ class Mol:
 
     # --- occupations -----------------------------------------------------
     def get_orb_weights(self, polarized: Optional[bool] = None):
+        if self._orb_weights is not None:
+            w = self._orb_weights
+            pol = self.polarized if polarized is None else polarized
+            if isinstance(w, SpinParam):
+                if not pol:
+                    raise ValueError(
+                        "SpinParam orb_weights requires a polarized calc")
+                return SpinParam(u=jnp.asarray(w.u), d=jnp.asarray(w.d))
+            if pol:
+                half = 0.5 * jnp.asarray(w)
+                return SpinParam(u=half, d=half)
+            return jnp.asarray(w)
         """Occupation vector(s) over nao orbitals sorted by energy.
 
         restricted -> (nao,) with weights up to 2;

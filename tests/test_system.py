@@ -82,3 +82,18 @@ def test_units_roundtrip():
     assert abs(energy_to_au(27.211386245988, "ev") - 1.0) < 1e-10
     assert abs(FREQ_AU_TO_CM1 - 219474.63) / 219474.63 < 1e-4
     assert abs(AU_TO_DEBYE - 2.5417464) < 1e-5
+
+
+def test_orb_weights_override():
+    """Custom occupations (reference mol.py:144-168): explicit ground-state
+    weights reproduce the default; promoting the electron raises E."""
+    import dqc_tpu
+    m = dqc_tpu.Mol("H 0 0 0; H 1.0 0 0", basis="3-21g")
+    e_def = float(dqc_tpu.HF(m).run().energy())
+    import numpy as np
+    w = np.zeros(m.meta.nao); w[0] = 2.0
+    m2 = dqc_tpu.Mol("H 0 0 0; H 1.0 0 0", basis="3-21g", orb_weights=w)
+    assert abs(float(dqc_tpu.HF(m2).run().energy()) - e_def) < 1e-12
+    w3 = np.zeros(m.meta.nao); w3[1] = 2.0
+    m3 = dqc_tpu.Mol("H 0 0 0; H 1.0 0 0", basis="3-21g", orb_weights=w3)
+    assert float(dqc_tpu.HF(m3).run().energy()) > e_def
