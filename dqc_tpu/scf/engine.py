@@ -26,8 +26,11 @@ def orthogonal_fock_to_dm(fock, X, keep, occ):
     occ: (..., nao) occupation weights aligned to ascending eigenvalues.
     Returns (dm, orbital energies, C)."""
     fp = jnp.einsum("im,...ij,jn->...mn", X, fock, X)
-    # pin masked-out directions high so they are never occupied
-    pin = jnp.where(keep, 0.0, LARGE)
+    # pin masked-out directions high so they are never occupied. The pin
+    # must stay well inside the dtype's eigh dynamic range: 1e7 in f32
+    # costs ~1 Ha of accuracy on the physical spectrum (1e7 * eps_f32).
+    large = LARGE if fock.dtype == jnp.float64 else 3.0e4
+    pin = jnp.where(keep, 0.0, large)
     fp = fp + jnp.diag(pin)
     w, u = safe_eigh(fp)
     c = jnp.einsum("ij,...jk->...ik", X, u)

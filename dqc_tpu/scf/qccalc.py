@@ -147,20 +147,31 @@ class SCF_QCCalc:
             j, k = jit_jk(dm, th)
             return jit_rest(dm, j, k, th)
 
-        def first_fock(th, dtype_probe):
-            dm0 = jnp.zeros(shape, dtype=dtype_probe.dtype)
-            j, k = jit_jk(dm0, th)
-            return jax.jit(eng.fock_from_parts)(dm0, j, k, th)
+        def gwh_fock(th, dtype):
+            """Generalized Wolfsberg-Helmholtz initial Fock — a far better
+            start than the bare core guess for large molecules (the
+            reference only offers the "1e" guess, scf_qccalc.py:85-93)."""
+            h = np.asarray(th["hcore"], dtype=np.float64)
+            s = np.asarray(th["ovlp"], dtype=np.float64)
+            d = np.diagonal(h)
+            f = 0.5 * 1.75 * (d[:, None] + d[None, :]) * s
+            np.fill_diagonal(f, d)
+            if eng.polarized:
+                f = np.stack([f, f])
+            return f.astype(dtype)
 
         def diis_phase(th, f0, tol, maxiter, tag):
             from ..utils.logger import log
             f = f0
             fhist, ehist = [], []
+            best_err, best_f, best_it = np.inf, f0, -1
             for it in range(maxiter):
                 f_new, e_new = iterate(jnp.asarray(f), th)
                 f_new = np.asarray(f_new, dtype=np.float64)
                 e_new = np.asarray(e_new, dtype=np.float64)
                 errnorm = np.abs(e_new).max()
+                if errnorm < best_err:
+                    best_err, best_f, best_it = errnorm, f_new, it
                 fhist = (fhist + [f_new.ravel()])[-opts.diis_size:]
                 ehist = (ehist + [e_new.ravel()])[-opts.diis_size:]
                 E = np.stack(ehist)
@@ -177,6 +188,13 @@ class SCF_QCCalc:
                 log(f"host-DIIS[{tag}] it={it} err={errnorm:.3e}")
                 if errnorm < tol:
                     break
+                # divergence/stall bail-out: hand the best state so far to
+                # the next (f64) phase instead of burning iterations
+                if (errnorm > 1e3 * max(best_err, 1e-300)
+                        or it - best_it >= 12):
+                    log(f"host-DIIS[{tag}] bail at it={it} "
+                        f"(best err={best_err:.3e} at it={best_it})")
+                    return best_f
             return f
 
         mixed_ok = (getattr(getattr(eng, "xc", None), "family", 1) <= 2
@@ -186,8 +204,7 @@ class SCF_QCCalc:
             theta32 = jax.jit(lambda th: jtu.tree_map(
                 lambda x: x.astype(jnp.float32)
                 if getattr(x, "dtype", None) == jnp.float64 else x, th))(theta)
-            probe = jnp.zeros((), jnp.float32)
-            f = diis_phase(theta32, np.asarray(first_fock(theta32, probe)),
+            f = diis_phase(theta32, gwh_fock(theta32, np.float32),
                            opts.mixed_tol, opts.mixed_maxiter, "f32")
             dm64 = jnp.asarray(
                 jit_dm(jnp.asarray(f, dtype=np.float32), theta32),
@@ -195,7 +212,7 @@ class SCF_QCCalc:
             j, k = jit_jk(dm64, theta)
             f0 = np.asarray(jit_rest(dm64, j, k, theta)[0])
         else:
-            f0 = np.asarray(first_fock(theta, jnp.zeros((), jnp.float64)))
+            f0 = gwh_fock(theta, np.float64)
         fstar = diis_phase(theta, f0, opts.tol, opts.maxiter, "f64")
         return jax.jit(eng.dm_from_fock)(jnp.asarray(fstar), theta)
 
