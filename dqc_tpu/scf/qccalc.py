@@ -68,6 +68,9 @@ class SCF_QCCalc:
             theta32 = jtu.tree_map(
                 lambda x: x.astype(jnp.float32)
                 if getattr(x, "dtype", None) == jnp.float64 else x, theta)
+            if "jk_facs" in theta32 and "df" in theta32:
+                theta32 = {k: v for k, v in theta32.items()
+                           if k != "jk_facs"}
             f0_32 = eng.fock(dm0.astype(jnp.float32), theta32)
             opts32 = opts._replace(tol=opts.mixed_tol,
                                    maxiter=opts.mixed_maxiter)
@@ -204,6 +207,9 @@ class SCF_QCCalc:
             theta32 = jax.jit(lambda th: jtu.tree_map(
                 lambda x: x.astype(jnp.float32)
                 if getattr(x, "dtype", None) == jnp.float64 else x, th))(theta)
+            if "jk_facs" in theta32 and "df" in theta32:
+                theta32 = {k: v for k, v in theta32.items()
+                           if k != "jk_facs"}
             f = diis_phase(theta32, gwh_fock(theta32, np.float32),
                            opts.mixed_tol, opts.mixed_maxiter, "f32")
             dm64 = jnp.asarray(
@@ -336,6 +342,27 @@ class SCF_QCCalc:
         return self.mol
 
 
+
+def _warm_df_setup(mol):
+    """Auxiliary (autoaux) basis for the f32 warmup's RI-J/RI-K in
+    streaming mode: the f32 phase cannot recompute quartets (the Boys/R
+    chain's (-2p)^n dynamic range exceeds f32 for steep exponents), but
+    RI with bounded precomputed 3-center tensors is f32-safe — and faster
+    per iteration. The f64 phase keeps the exact quartet stream."""
+    from ..basis.autoaux import autoaux
+    from ..ops.shellstruct import pack_basis
+    return pack_basis(autoaux(mol.atombases))
+
+
+def _attach_warm_df(theta, mol, warm_df, params):
+    from .df import build_df_theta
+    meta_aux, params_aux = warm_df
+    pa = dict(params_aux)
+    pa["atompos"] = params["basis"]["atompos"]
+    theta["df"] = build_df_theta(mol.meta, params["basis"], meta_aux, pa)
+    return theta
+
+
 def _df_setup(mol):
     """If density fitting is enabled on the molecule, returns
     (meta_aux, params_aux_template); else None."""
@@ -393,9 +420,11 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
     scr = _screened(mol) if dfset is None else None
     mode = _jk_mode(mol) if dfset is None else "df"
     jk_info = None
+    warm_df = None
     if mode == "stream":
         from .jk import build_jk_meta
         jk_info = (mol.meta, build_jk_meta(mol.meta, scr))
+        warm_df = _warm_df_setup(mol)
     engine = HFEngine(polarized=polarized, jk_info=jk_info)
 
     def build_theta(params):
@@ -408,6 +437,7 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
             from .jk import build_jk_factors
             theta["jk_facs"] = build_jk_factors(mol.meta, params["basis"],
                                                 jk_info[1])
+            theta = _attach_warm_df(theta, mol, warm_df, params)
         return _maybe_df(theta, mol, dfset, params)
 
     return SCF_QCCalc(mol, engine, build_theta=build_theta,
@@ -497,9 +527,11 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
     scr = _screened(mol) if dfset is None else None
     mode = _jk_mode(mol) if dfset is None else "df"
     jk_info = None
+    warm_df = None
     if mode == "stream":
         from .jk import build_jk_meta
         jk_info = (mol.meta, build_jk_meta(mol.meta, scr))
+        warm_df = _warm_df_setup(mol)
     engine = KSEngine(xc, polarized=polarized, jk_info=jk_info)
 
     def build_theta(params):
@@ -512,6 +544,7 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
             from .jk import build_jk_factors
             theta["jk_facs"] = build_jk_factors(mol.meta, params["basis"],
                                                 jk_info[1])
+            theta = _attach_warm_df(theta, mol, warm_df, params)
         theta["grid"] = setup_grid_theta(mol.meta, params["basis"], grid,
                                          family=xc.family)
         theta["xc_params"] = params.get("xc_params")
