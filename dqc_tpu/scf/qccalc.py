@@ -256,36 +256,10 @@ class SCF_QCCalc:
                 dm, theta = self.solve_dm(p)
                 return dm, theta, self.engine.energy(dm, theta)
             self._dm, self._theta, self._energy = \
-                jax.jit(_go)(self._all_params())
-        elif cache_fname is None:
-            theta = jax.jit(self._build_theta)(self._all_params())
-            self._dm = self._host_solve(theta)
-            self._energy = jax.jit(self.engine.energy)(self._dm, theta)
-            self._theta = theta
+                jax.jit(_go)(self._all_params(with_fields=False))
         else:
-            # two-phase: theta may be served from the on-disk cache, skipping
-            # the integral build (and its compile) entirely
-            from ..utils.cache import Cache
-            import jax.tree_util as jtu
-            cache = Cache(cache_fname, signature=self.mol.cache_signature)
-            params = self._all_params()
-
-            def compute_theta():
-                theta = jax.jit(self._build_theta)(params)
-                leaves, treedef = jtu.tree_flatten(theta)
-                self._theta_treedef = treedef
-                return leaves
-
-            leaves = cache.cache_multi(
-                [f"theta/{i}" for i in range(len(
-                    jtu.tree_flatten(jax.eval_shape(self._build_theta,
-                                                    params))[0]))],
-                compute_theta)
-            treedef = jtu.tree_flatten(
-                jax.eval_shape(self._build_theta, params))[1]
-            theta = jtu.tree_unflatten(treedef, [jnp.asarray(l)
-                                                 for l in leaves])
-
+            theta = self._materialize_theta(
+                self._all_params(with_fields=False), cache_fname)
             if use_host_loop:
                 self._dm = self._host_solve(theta)
                 self._energy = jax.jit(self.engine.energy)(self._dm, theta)
@@ -303,18 +277,55 @@ class SCF_QCCalc:
         self._has_run = True
         return self
 
-    def _all_params(self):
+    def _materialize_theta(self, params, cache_fname=None):
+        """Build theta part by part — each part is its own (much smaller)
+        XLA module, which the remote TPU AOT compiler handles far better
+        than the fused program — optionally serving every part's tensors
+        from the on-disk cache (reference Cache parity, cache.py)."""
+        import jax.tree_util as jtu
+        parts = getattr(self, "_theta_parts", None) or \
+            {"all": self._build_theta}
+        cache = None
+        if cache_fname is not None:
+            from ..utils.cache import Cache
+            cache = Cache(cache_fname, signature=self.mol.cache_signature)
+        theta = {}
+        for name, fn in parts.items():
+            if cache is None:
+                theta.update(jax.jit(fn)(params))
+                continue
+            shapes = jax.eval_shape(fn, params)
+            flat_shapes, treedef = jtu.tree_flatten(shapes)
+
+            def compute(fn=fn):
+                return jtu.tree_flatten(jax.jit(fn)(params))[0]
+
+            leaves = cache.cache_multi(
+                [f"theta/{name}/{i}" for i in range(len(flat_shapes))],
+                compute)
+            theta.update(jtu.tree_unflatten(
+                treedef, [jnp.asarray(l) for l in leaves]))
+        return theta
+
+    def _all_params(self, with_fields: bool = True):
         """Full differentiable input pytree. Properties differentiate the
         energy w.r.t. entries of this dict (atom positions, basis params,
-        fields, fractional charges, NN-XC weights)."""
+        fields, fractional charges, NN-XC weights).
+
+        with_fields=False omits the zero efield/efield_grad placeholders:
+        their multipole couplings are ~half the theta-build program and
+        contribute nothing to a forward run; the differentiable paths
+        (energy_fn / properties) always include them."""
         mol = self.mol
         p = {
             "basis": mol.params,
             "atomzs": mol.atomzs,
-            "efield": (jnp.zeros(3, dtype=jnp.float64) if mol.efield is None
-                       else jnp.asarray(mol.efield, dtype=jnp.float64)),
-            "efield_grad": jnp.zeros((3, 3), dtype=jnp.float64),
         }
+        if with_fields or mol.efield is not None:
+            p["efield"] = (jnp.zeros(3, dtype=jnp.float64)
+                           if mol.efield is None
+                           else jnp.asarray(mol.efield, dtype=jnp.float64))
+            p["efield_grad"] = jnp.zeros((3, 3), dtype=jnp.float64)
         if getattr(self, "_xc_params", None) is not None:
             p["xc_params"] = self._xc_params
         return p
@@ -427,21 +438,36 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
         warm_df = _warm_df_setup(mol)
     engine = HFEngine(polarized=polarized, jk_info=jk_info)
 
-    def build_theta(params):
+    def part_core(params):
         theta = build_core_theta(mol.meta, params["basis"], params["atomzs"],
                                  efield=params.get("efield"),
                                  efield_grad=params.get("efield_grad"),
                                  with_eri=(mode == "dense"), screened=scr)
         theta["occ"] = occ
-        if mode == "stream":
-            from .jk import build_jk_factors
-            theta["jk_facs"] = build_jk_factors(mol.meta, params["basis"],
-                                                jk_info[1])
-            theta = _attach_warm_df(theta, mol, warm_df, params)
-        return _maybe_df(theta, mol, dfset, params)
+        return theta
 
-    return SCF_QCCalc(mol, engine, build_theta=build_theta,
+    parts = {"core": part_core}
+    if mode == "stream":
+        from .jk import build_jk_factors
+        parts["jk"] = lambda params: {
+            "jk_facs": build_jk_factors(mol.meta, params["basis"],
+                                        jk_info[1])}
+        parts["warmdf"] = lambda params: _attach_warm_df(
+            {}, mol, warm_df, params)
+    if dfset is not None:
+        parts["df"] = lambda params: _maybe_df(
+            {}, mol, dfset, params)
+
+    def build_theta(params):
+        theta = {}
+        for fn in parts.values():
+            theta.update(fn(params))
+        return theta
+
+    calc = SCF_QCCalc(mol, engine, build_theta=build_theta,
                       opts=opts or SCFOptions())
+    calc._theta_parts = parts
+    return calc
 
 
 def _kpbc_ks(sol, xc, *, opts=None):
@@ -534,24 +560,38 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
         warm_df = _warm_df_setup(mol)
     engine = KSEngine(xc, polarized=polarized, jk_info=jk_info)
 
-    def build_theta(params):
+    def part_core(params):
         theta = build_core_theta(mol.meta, params["basis"], params["atomzs"],
                                  efield=params.get("efield"),
                                  efield_grad=params.get("efield_grad"),
                                  with_eri=(mode == "dense"), screened=scr)
         theta["occ"] = occ
-        if mode == "stream":
-            from .jk import build_jk_factors
-            theta["jk_facs"] = build_jk_factors(mol.meta, params["basis"],
-                                                jk_info[1])
-            theta = _attach_warm_df(theta, mol, warm_df, params)
-        theta["grid"] = setup_grid_theta(mol.meta, params["basis"], grid,
-                                         family=xc.family)
         theta["xc_params"] = params.get("xc_params")
-        return _maybe_df(theta, mol, dfset, params)
+        return theta
+
+    parts = {"core": part_core}
+    if mode == "stream":
+        from .jk import build_jk_factors
+        parts["jk"] = lambda params: {
+            "jk_facs": build_jk_factors(mol.meta, params["basis"],
+                                        jk_info[1])}
+        parts["warmdf"] = lambda params: _attach_warm_df(
+            {}, mol, warm_df, params)
+    if dfset is not None:
+        parts["df"] = lambda params: _maybe_df({}, mol, dfset, params)
+    parts["grid"] = lambda params: {
+        "grid": setup_grid_theta(mol.meta, params["basis"], grid,
+                                 family=xc.family)}
+
+    def build_theta(params):
+        theta = {}
+        for fn in parts.values():
+            theta.update(fn(params))
+        return theta
 
     calc = SCF_QCCalc(mol, engine, build_theta=build_theta,
                       opts=opts or SCFOptions())
+    calc._theta_parts = parts
     # expose NN-XC parameters as differentiable inputs
     if isinstance(xc, CustomXC):
         calc._xc_params = {xc.key: xc.init_params}
