@@ -239,20 +239,39 @@ def _aux_factors(meta: BasisMeta, params):
     return out
 
 
+def _packed_perm(facs, naux):
+    """Host permutation: packed (class-concatenated) column -> true AO
+    column. Returned as its inverse for direct fancy-indexing."""
+    cols = [
+        (np.asarray(st)[:, None] + np.arange(nsph(l))[None, :]).ravel()
+        for (_, st, l) in facs]
+    perm = np.concatenate(cols)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(naux)
+    return inv
+
+
 def coul2c(meta_aux: BasisMeta, params_aux, block: int = 64):
     """(aux_i | 1/r12 | aux_j) -> (naux, naux). Parity: reference coul2c
-    (molintor.py:113-118)."""
+    (molintor.py:113-118).
+
+    Assembled by class-block concatenation + one permutation instead of
+    per-element scatters: element-wise index constants embed O(naux^2)
+    integers into the XLA module (they OOM-killed the remote TPU
+    compiler at def2-SVP scale)."""
     naux = meta_aux.nao
     facs = _aux_factors(meta_aux, params_aux)
-    out = jnp.zeros((naux * naux,), dtype=jnp.float64)
+    inv = jnp.asarray(_packed_perm(facs, naux))
+    rows = []
     for (fa, sta, la) in facs:
+        row = []
         for (fb, stb, lb) in facs:
             blk = coulomb_contract(fa, fb, block=block)  # (na, sa, nb, sb)
-            rows = (sta[:, None] + np.arange(nsph(la))[None, :])
-            cols = (stb[:, None] + np.arange(nsph(lb))[None, :])
-            flat = (rows[:, :, None, None] * naux + cols[None, None, :, :])
-            out = out.at[jnp.asarray(flat.ravel())].add(blk.ravel())
-    return out.reshape(naux, naux)
+            na, sa = blk.shape[0], blk.shape[1]
+            row.append(blk.reshape(na * sa, -1))
+        rows.append(jnp.concatenate(row, axis=1))
+    packed = jnp.concatenate(rows, axis=0)
+    return packed[inv][:, inv]
 
 
 def coul3c(meta: BasisMeta, params, meta_aux: BasisMeta, params_aux,
@@ -261,7 +280,8 @@ def coul3c(meta: BasisMeta, params, meta_aux: BasisMeta, params_aux,
     (molintor.py:119-123)."""
     nao, naux = meta.nao, meta_aux.nao
     facs_aux = _aux_factors(meta_aux, params_aux)
-    out = jnp.zeros((nao * nao * naux,), dtype=jnp.float64)
+    inv = jnp.asarray(_packed_perm(facs_aux, naux))
+    out = jnp.zeros((nao * nao, naux), dtype=jnp.float64)
     for pc in tri_pair_classes(meta):
         inp = gather_pair_inputs(meta, params, pc)
         fab = hermite_factor_pair(inp)
@@ -269,12 +289,14 @@ def coul3c(meta: BasisMeta, params, meta_aux: BasisMeta, params_aux,
         diag = ((pc.ia == pc.ib) if pc.ca == pc.cb
                 else np.zeros(pc.npair, dtype=bool))
         w = jnp.asarray(np.where(diag, 0.5, 1.0))
-        for (fc, stc, lc) in facs_aux:
-            blk = coulomb_contract(fab, fc, block=block)  # (np, sab, nc, sc)
-            blk = blk * w[:, None, None, None]
-            cols = (stc[:, None] + np.arange(nsph(lc))[None, :])
-            flat = (idx_ab[:, :, None, None].astype(np.int64) * naux
-                    + cols[None, None, :, :])
-            out = out.at[jnp.asarray(flat.ravel())].add(blk.ravel())
+        # all aux classes packed along the last axis, then one permutation;
+        # the only scatter-index constant is the (npair*nsph_ab,) pair map
+        blocks = [coulomb_contract(fab, fc, block=block).reshape(
+            pc.npair, -1, nc_sh.shape[0] * nsph(lc))
+            for (fc, nc_sh, lc) in facs_aux]
+        big = jnp.concatenate(blocks, axis=-1)[:, :, inv]
+        big = big * w[:, None, None]
+        out = out.at[jnp.asarray(idx_ab.ravel())].add(
+            big.reshape(-1, naux))
     g = out.reshape(nao, nao, naux)
     return g + g.transpose(1, 0, 2)

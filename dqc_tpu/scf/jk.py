@@ -102,8 +102,12 @@ def jk_matrices(meta: BasisMeta, jk_meta, facs: List[HermiteFactor], dm,
     dmk = dm if pol else dm[None]
     ns = dmk.shape[0]
 
+    # NOTE on indexing style: every gather/scatter below uses only 1-D
+    # per-side index vectors (np*s elements). Quartet-sized index grids
+    # ((np*s)^2 integers per class combo) embedded ~400 MB of constants
+    # into the XLA module and OOM-killed the remote TPU compiler.
     Jflat = jnp.zeros((nao * nao,), dtype=jnp.float64)
-    Kflat = jnp.zeros((ns, nao * nao), dtype=jnp.float64)
+    K = jnp.zeros((ns, nao, nao), dtype=jnp.float64)
 
     ng = len(jk_meta)
     for gi in range(ng):
@@ -113,22 +117,24 @@ def jk_matrices(meta: BasisMeta, jk_meta, facs: List[HermiteFactor], dm,
             sc, sd = iq["sa"], iq["sb"]
             np1, np2 = len(ip["row0"]), len(iq["row0"])
             blk = _quartet_blocks(facs[gi], facs[gj], sa, sb, sc, sd, block)
-            w = ip["w"][:, None] * iq["w"][None, :]
+            w = jnp.asarray(ip["w"])[:, None] * jnp.asarray(iq["w"])[None, :]
             if gi == gj:
-                w = w * np.triu(np.ones((np1, np2))) \
-                    * np.where(np.eye(np1, dtype=bool), 0.5, 1.0)
-            blk = blk * jnp.asarray(w)[:, None, None, :, None, None]
+                # in-graph masks (iota comparisons), not host constants
+                w = (w * jnp.triu(jnp.ones((np1, np2)))
+                     * jnp.where(jnp.eye(np1, dtype=bool), 0.5, 1.0))
+            blk = blk * w[:, None, None, :, None, None]
 
-            # index grids
+            # index grids (host, small: np*s each)
             ra = ip["row0"][:, None] + np.arange(sa)     # (np1, sa)
             rb = ip["col0"][:, None] + np.arange(sb)
             rc = iq["row0"][:, None] + np.arange(sc)
             rd = iq["col0"][:, None] + np.arange(sd)
+            raf, rbf = jnp.asarray(ra.ravel()), jnp.asarray(rb.ravel())
+            rcf, rdf = jnp.asarray(rc.ravel()), jnp.asarray(rd.ravel())
 
             if want_j:
                 dq = dmt[jnp.asarray(rc)[:, :, None, None],
-                         jnp.asarray(rd)[:, None, None, :]]  # (np2,sc,1,sd)
-                dq = dq[:, :, 0, :]
+                         jnp.asarray(rd)[:, None, None, :]][:, :, 0, :]
                 A = jnp.einsum("pabqcd,qcd->pab", blk, dq)
                 dp = dmt[jnp.asarray(ra)[:, :, None, None],
                          jnp.asarray(rb)[:, None, None, :]][:, :, 0, :]
@@ -139,31 +145,30 @@ def jk_matrices(meta: BasisMeta, jk_meta, facs: List[HermiteFactor], dm,
                 Jflat = Jflat.at[jnp.asarray(idx_cd)].add(B.ravel())
 
             if want_k:
-                # gathered dm blocks for the 4 pairings, per spin
-                def dmg(r1, s1, r2, s2):
-                    return dmk[:, jnp.asarray(r1)[:, :, None, None],
-                               jnp.asarray(r2)[None, None, :, :]].reshape(
+                # gathered dm blocks for the 4 pairings, per spin; flat
+                # row/col gathers keep index constants 1-D
+                def dmg(r1f, s1, r2f, s2):
+                    return dmk[:, r1f, :][:, :, r2f].reshape(
                         ns, np1, s1, np2, s2)
                 P_ac = jnp.einsum("pabqcd,spbqd->spaqc", blk,
-                                  dmg(rb, sb, rd, sd))
+                                  dmg(rbf, sb, rdf, sd))
                 P_ad = jnp.einsum("pabqcd,spbqc->spaqd", blk,
-                                  dmg(rb, sb, rc, sc))
+                                  dmg(rbf, sb, rcf, sc))
                 P_bc = jnp.einsum("pabqcd,spaqd->spbqc", blk,
-                                  dmg(ra, sa, rd, sd))
+                                  dmg(raf, sa, rdf, sd))
                 P_bd = jnp.einsum("pabqcd,spaqc->spbqd", blk,
-                                  dmg(ra, sa, rc, sc))
-                for P, r1, r2 in ((P_ac, ra, rc), (P_ad, ra, rd),
-                                  (P_bc, rb, rc), (P_bd, rb, rd)):
-                    idx = (r1[:, :, None, None] * nao
-                           + r2[None, None, :, :]).ravel()
-                    Kflat = Kflat.at[:, jnp.asarray(idx)].add(
-                        P.reshape(ns, -1))
+                                  dmg(raf, sa, rcf, sc))
+                for P, r1f, r2f in ((P_ac, raf, rcf), (P_ad, raf, rdf),
+                                    (P_bc, rbf, rcf), (P_bd, rbf, rdf)):
+                    n2s = P.shape[3] * P.shape[4]
+                    P2 = P.reshape(ns, -1, n2s)
+                    tmp = jnp.zeros((ns, nao, n2s)).at[:, r1f].add(P2)
+                    K = K.at[:, :, r2f].add(tmp)
 
     # J: the 8 permutation images contribute 2(A + A^T + B + B^T)
     # (dm symmetric); K: the 4 pairings + transposes cover all 8 exactly.
     J = Jflat.reshape(nao, nao)
     J = 2.0 * (J + J.T)
-    K = Kflat.reshape(ns, nao, nao)
     K = K + jnp.swapaxes(K, -1, -2)
     if not pol:
         K = K[0]
