@@ -120,7 +120,13 @@ def equadrupole(qc, unit: str = "a.u."):
     pos = p0["basis"]["atompos"]
     zs = p0["atomzs"]
     q_nuc = jnp.einsum("a,ad,ae->de", zs, pos, pos)
-    return q_elec + q_nuc
+    q = q_elec + q_nuc
+    if unit.lower() in ("debye*angst", "debye*angstrom"):
+        from ..utils.units import AU_TO_DEBYE, BOHR_TO_ANGSTROM
+        q = q * (AU_TO_DEBYE * BOHR_TO_ANGSTROM)
+    elif unit.lower() != "a.u.":
+        raise ValueError(f"unknown quadrupole unit {unit!r}")
+    return q
 
 
 def ir_spectrum(qc, freq_unit: str = "cm^-1", ints_unit: str = "km/mol"):

@@ -118,6 +118,11 @@ def hermite_multipole(e_max: int, lab: int, PC, inv2p):
     Returns dict {(e, t): (..., 3)} for 0<=e<=e_max, 0<=t<=min(e, lab).
     M_t^0 = delta_{t0} sqrt(pi/p); recursion (Helgaker 9.5.31):
       M_t^{e+1} = t M_{t-1}^e + X_PC M_t^e + 1/(2p) M_{t+1}^e
+
+    NB: intermediates must be built for ALL t <= e even when t > lab — the
+    downward 1/(2p) M_{t+1} coupling feeds the Gaussian-width contribution
+    into the t<=lab entries (for an s-s pair, M_0^2 needs M_1^1; capping t
+    at lab dropped the isotropic <x^2> spread term entirely).
     """
     inv2p = inv2p[..., None]
     sqrt_pi_over_p = jnp.sqrt(jnp.pi * 2.0 * inv2p)
@@ -128,7 +133,7 @@ def hermite_multipole(e_max: int, lab: int, PC, inv2p):
         return M.get((e, t), None)
 
     for e in range(e_max):
-        for t in range(0, min(e + 1, lab) + 1):
+        for t in range(0, e + 2):
             terms = []
             m_dn = get(e, t - 1)
             if m_dn is not None and t >= 1:

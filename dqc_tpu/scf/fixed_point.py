@@ -28,6 +28,9 @@ class SCFOptions(NamedTuple):
     method: str = "diis"        # "diis" | "variational" (reference parity:
     #                             scf_qccalc.py's two solution modes)
     var_maxiter: int = 400      # BFGS iterations for the variational mode
+    orb_param: str = "matexp"   # "matexp" | "qr" orbital parametrization for
+    #                             the variational mode (reference parity:
+    #                             orbparams.py QROrbParams/MatExpOrbParams)
     # mixed precision: converge an f32 DIIS phase first (native MXU speed on
     # TPU, where f64 matmuls are ~100x slower emulated), then polish in f64
     # from the f32 density. The final f64 phase owns the convergence

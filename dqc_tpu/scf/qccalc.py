@@ -99,20 +99,50 @@ class SCF_QCCalc:
         pol = eng.polarized
         shape = (2, n, n) if pol else (n, n)
 
-        def dm_of(kflat):
-            k = kflat.reshape(shape)
-            k = 0.5 * (k - jnp.swapaxes(k, -1, -2))
-            if pol:
-                u = jnp.stack([jsl.expm(k[0]), jsl.expm(k[1])])
-            else:
-                u = jsl.expm(k)
-            cr = jnp.einsum("...ij,...jk->...ik", c0, u)
-            return jnp.einsum("...ik,...k,...jk->...ij", cr, theta["occ"], cr)
+        if self.opts.orb_param == "qr":
+            # QR parametrization (reference orbparams.py:39-69): orbitals =
+            # X @ Q of QR(params) with diag(R)>0 sign fix for uniqueness.
+            # QR orthonormalizes in the plain l2 metric, so it must act on
+            # X-basis coordinates (where the overlap is the identity) —
+            # applying it to AO orbitals would re-orthogonalize in the
+            # wrong metric. Params start at the core-guess X-basis
+            # eigenvectors (so Q0 reproduces dm0's orbitals).
+            X = theta["X"]
+            # u0 via the orthogonal-basis eigensolve (same path as
+            # orthogonal_fock_to_dm, which returns c0 = X @ u0)
+            from .eigh import safe_eigh
+            from .orth import LARGE
+            fp = jnp.einsum("im,...ij,jn->...mn", X, f0, X)
+            pin = jnp.where(theta["keep"], 0.0, LARGE)
+            fp = fp + jnp.diag(pin)
+            _, u0 = safe_eigh(fp)
+
+            def dm_of(pflat):
+                p = pflat.reshape(shape)
+                q, r = jnp.linalg.qr(p)
+                s = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
+                s = jnp.where(s == 0.0, 1.0, s)
+                q = q * s[..., None, :]
+                cr = jnp.einsum("ij,...jk->...ik", X, q)
+                return jnp.einsum("...ik,...k,...jk->...ij", cr,
+                                  theta["occ"], cr)
+            k0 = u0.reshape(-1).astype(jnp.float64)
+        else:
+            def dm_of(kflat):
+                k = kflat.reshape(shape)
+                k = 0.5 * (k - jnp.swapaxes(k, -1, -2))
+                if pol:
+                    u = jnp.stack([jsl.expm(k[0]), jsl.expm(k[1])])
+                else:
+                    u = jsl.expm(k)
+                cr = jnp.einsum("...ij,...jk->...ik", c0, u)
+                return jnp.einsum("...ik,...k,...jk->...ij", cr,
+                                  theta["occ"], cr)
+            k0 = jnp.zeros(int(np.prod(shape)), dtype=jnp.float64)
 
         def ene(kflat):
             return eng.energy(dm_of(kflat), theta)
 
-        k0 = jnp.zeros(int(np.prod(shape)), dtype=jnp.float64)
         res = jmin(ene, k0, method="BFGS",
                    options={"maxiter": self.opts.var_maxiter, "gtol": 1e-9})
         return dm_of(res.x)

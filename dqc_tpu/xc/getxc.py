@@ -30,8 +30,9 @@ _REGISTRY = {
 
 
 def _mgga_registry():
-    from .mgga import MGGA_X_SCAN, MGGA_C_SCAN
-    return {"mgga_x_scan": MGGA_X_SCAN, "mgga_c_scan": MGGA_C_SCAN}
+    from .mgga import MGGA_X_SCAN, MGGA_C_SCAN, MGGA_X_TPSS, MGGA_C_TPSS
+    return {"mgga_x_scan": MGGA_X_SCAN, "mgga_c_scan": MGGA_C_SCAN,
+            "mgga_x_tpss": MGGA_X_TPSS, "mgga_c_tpss": MGGA_C_TPSS}
 
 
 def _named_composites():
@@ -48,6 +49,8 @@ def _named_composites():
         "pbe": lambda: GGA_X_PBE() + GGA_C_PBE(),
         "blyp": lambda: GGA_X_B88() + GGA_C_LYP(),
         "svwn": lambda: LDA_X() + LDA_C_VWN5(),
+        "scan": lambda: get_libxc("mgga_x_scan") + get_libxc("mgga_c_scan"),
+        "tpss": lambda: get_libxc("mgga_x_tpss") + get_libxc("mgga_c_tpss"),
         "lda": lambda: LDA_X() + LDA_C_PW(),
     }
 
@@ -60,8 +63,9 @@ def get_libxc(name: str) -> BaseXC:
         reg = _mgga_registry()
         if key in reg:
             return reg[key]()
-    raise NotImplementedError(f"XC functional {name!r} not implemented; "
-                              f"available: {sorted(_REGISTRY)} + mgga_[xc]_scan")
+    raise NotImplementedError(
+        f"XC functional {name!r} not implemented; available: "
+        f"{sorted(_REGISTRY)} + mgga_[xc]_scan, mgga_[xc]_tpss")
 
 
 def get_xc(expr) -> BaseXC:

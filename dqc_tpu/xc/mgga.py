@@ -1,10 +1,12 @@
-"""SCAN meta-GGA (Sun, Ruzsinszky, Perdew, PRL 115, 036402 (2015)).
+"""Meta-GGA functionals: SCAN (Sun, Ruzsinszky, Perdew, PRL 115, 036402
+(2015)) and TPSS (Tao, Perdew, Staroverov, Scuseria, PRL 91, 146401 (2003);
+explicit forms in JCP 120, 6898 (2004)).
 
-Pure-JAX replacement of libxc's mgga_x_scan / mgga_c_scan used by the
-reference via pylibxc. The interpolation step functions are implemented with
-branch-safe jnp.where (both branches evaluated on clamped arguments) so
-gradients are NaN-free — vxc/fxc come from jax.grad like every functional
-here.
+Pure-JAX replacements of libxc's mgga_x_scan / mgga_c_scan / mgga_x_tpss /
+mgga_c_tpss used by the reference via pylibxc. The interpolation step
+functions are implemented with branch-safe jnp.where (both branches
+evaluated on clamped arguments) so gradients are NaN-free — vxc/fxc come
+from jax.grad like every functional here.
 """
 from __future__ import annotations
 
@@ -136,6 +138,115 @@ class MGGA_C_SCAN(BaseXC):
         ec0 = (ec_lda0 + H0) * Gc
         fc = _interp_c(alpha)
         ec = ec1 + fc * (ec0 - ec1)
+        return n * ec
+
+    def edens_unpol(self, rho, sigma=None, lapl=None, tau=None):
+        h = 0.5 * rho
+        q = 0.25 * sigma
+        return self.edens_pol(h, h, q, q, q, tau_u=0.5 * tau, tau_d=0.5 * tau)
+
+
+# --------------------------------------------------------------------------
+# TPSS (Tao-Perdew-Staroverov-Scuseria 2003). Reference exposes these as
+# libxc mgga_x_tpss / mgga_c_tpss (xc/libxc.py); here they are closed-form
+# JAX so all derivative orders come from AD.
+
+class MGGA_X_TPSS(BaseXC):
+    family = 4
+    _KAPPA = 0.804
+    _MU = 0.21951
+    _B = 0.40
+    _C = 1.59096
+    _E = 1.537
+
+    def _e_unpol(self, rho, sigma, tau):
+        n = jnp.maximum(rho, _RHO_EPS)
+        sig = jnp.maximum(sigma, 0.0)
+        kf2 = (3.0 * np.pi ** 2) ** (2.0 / 3.0) * safepow(n, 2.0 / 3.0)
+        p = sig / (4.0 * kf2 * n * n)
+        tau_w = sig / (8.0 * n)
+        t = jnp.maximum(tau, _TAU_EPS)
+        z = jnp.clip(tau_w / t, 0.0, 1.0)
+        alpha = jnp.maximum(_alpha_iso(n, sig, t), 0.0)
+        b = self._B
+        qb = (0.45 * (alpha - 1.0)
+              / jnp.sqrt(1.0 + b * alpha * (alpha - 1.0))
+              + 2.0 * p / 3.0)
+        kappa, mu, c, e = self._KAPPA, self._MU, self._C, self._E
+        z2 = z * z
+        tz2 = (0.6 * z) ** 2          # (3z/5)^2
+        sq = jnp.sqrt(0.5 * tz2 ** 2 + 0.5 * p * p)
+        x = ((10.0 / 81.0 + c * z2 / (1.0 + z2) ** 2) * p
+             + 146.0 / 2025.0 * qb * qb
+             - 73.0 / 405.0 * qb * sq
+             + (10.0 / 81.0) ** 2 * p * p / kappa
+             + 2.0 * np.sqrt(e) * (10.0 / 81.0) * tz2
+             + e * mu * p ** 3)
+        x = x / (1.0 + np.sqrt(e) * p) ** 2
+        fx = 1.0 + kappa - kappa / (1.0 + x / kappa)
+        ex_lda = -(3.0 / (4.0 * np.pi)) * (3.0 * np.pi ** 2) ** (1.0 / 3.0) \
+            * safepow(n, 4.0 / 3.0)
+        return ex_lda * fx
+
+    def edens_unpol(self, rho, sigma=None, lapl=None, tau=None):
+        return self._e_unpol(rho, sigma, tau)
+
+    def edens_pol(self, rho_u, rho_d, sigma_uu=None, sigma_ud=None,
+                  sigma_dd=None, lapl_u=None, lapl_d=None,
+                  tau_u=None, tau_d=None):
+        return 0.5 * (self._e_unpol(2 * rho_u, 4 * sigma_uu, 2 * tau_u)
+                      + self._e_unpol(2 * rho_d, 4 * sigma_dd, 2 * tau_d))
+
+
+class MGGA_C_TPSS(BaseXC):
+    """TPSS correlation: revPKZB with self-interaction-free z^3 correction
+    (JCP 120, 6898 (2004) eqs. 11-14). One-electron densities give
+    exactly zero correlation (tested against the exact H-atom density)."""
+    family = 4
+    _D = 2.8
+
+    def __init__(self):
+        from .gga import GGA_C_PBE
+        self._pbe = GGA_C_PBE()
+
+    def _ec_pbe_per_n(self, rho_u, rho_d, suu, sud, sdd):
+        n = jnp.maximum(rho_u + rho_d, _RHO_EPS)
+        return self._pbe.edens_pol(rho_u, rho_d, suu, sud, sdd) / n
+
+    def edens_pol(self, rho_u, rho_d, sigma_uu=None, sigma_ud=None,
+                  sigma_dd=None, lapl_u=None, lapl_d=None,
+                  tau_u=None, tau_d=None):
+        nu = jnp.maximum(rho_u, 0.0)
+        nd = jnp.maximum(rho_d, 0.0)
+        n = jnp.maximum(nu + nd, _RHO_EPS)
+        suu = jnp.maximum(sigma_uu, 0.0)
+        sdd = jnp.maximum(sigma_dd, 0.0)
+        sigma = jnp.maximum(suu + 2.0 * sigma_ud + sdd, 0.0)
+        tau = jnp.maximum(tau_u + tau_d, _TAU_EPS)
+        tau_w = sigma / (8.0 * n)
+        z = jnp.clip(tau_w / tau, 0.0, 1.0)
+        zeta = jnp.clip(_zeta(nu, nd), -1.0 + 1e-12, 1.0 - 1e-12)
+        # xi = |grad zeta| / (2 (3 pi^2 n)^{1/3});
+        # |grad zeta|^2 = 4 (nd^2 suu - 2 nu nd sud + nu^2 sdd) / n^4
+        gz2 = 4.0 * jnp.maximum(
+            nd * nd * suu - 2.0 * nu * nd * sigma_ud + nu * nu * sdd, 0.0) \
+            / n ** 4
+        xi2 = gz2 / (4.0 * (3.0 * np.pi ** 2 * n) ** (2.0 / 3.0))
+        cz = (0.53 + 0.87 * zeta ** 2 + 0.50 * zeta ** 4
+              + 2.26 * zeta ** 6)
+        den = (1.0 + xi2 * 0.5 * (safepow(1.0 + zeta, -4.0 / 3.0)
+                                  + safepow(1.0 - zeta, -4.0 / 3.0))) ** 4
+        C = cz / den
+        ec_pbe = self._ec_pbe_per_n(nu, nd, suu, sigma_ud, sdd)
+        tiny = _RHO_EPS
+        ec_u = self._ec_pbe_per_n(nu, tiny, suu, 0.0 * suu, 0.0 * suu)
+        ec_d = self._ec_pbe_per_n(nd, tiny, sdd, 0.0 * sdd, 0.0 * sdd)
+        ec_u = jnp.maximum(ec_u, ec_pbe)
+        ec_d = jnp.maximum(ec_d, ec_pbe)
+        z2 = z * z
+        ec_rev = (ec_pbe * (1.0 + C * z2)
+                  - (1.0 + C) * z2 * (nu / n * ec_u + nd / n * ec_d))
+        ec = ec_rev * (1.0 + self._D * ec_rev * z2 * z)
         return n * ec
 
     def edens_unpol(self, rho, sigma=None, lapl=None, tau=None):

@@ -143,3 +143,22 @@ def test_multipole_dipole():
     for d, p in enumerate([(1, 0, 0), (0, 1, 0), (0, 0, 1)]):
         M = np.asarray(I.multipole(meta, params, p))
         np.testing.assert_allclose(M[0, 0], pos[d], atol=1e-13)
+
+
+def test_multipole_second_moment():
+    """<phi|x^2|phi> for a normalized s primitive at position A is
+    A_x^2 + 1/(4 alpha) (regression: the Gaussian-width 1/(4a) term was
+    dropped for s-s pairs when the Hermite-multipole t-cap excluded the
+    M_1^1 intermediate)."""
+    alpha = 1.2
+    bas = [CGTOBasis(angmom=0, alphas=np.array([alpha]),
+                     coeffs=np.array([1.0]))]
+    pos = [0.3, -0.7, 0.9]
+    meta, params = pack_basis([AtomCGTOBasis(1, bas, pos)])
+    for d, p in enumerate([(2, 0, 0), (0, 2, 0), (0, 0, 2)]):
+        M = np.asarray(I.multipole(meta, params, p))
+        np.testing.assert_allclose(M[0, 0], pos[d] ** 2 + 1.0 / (4 * alpha),
+                                   atol=1e-13)
+    # cross moment <x y> = A_x A_y for an s function
+    M = np.asarray(I.multipole(meta, params, (1, 1, 0)))
+    np.testing.assert_allclose(M[0, 0], pos[0] * pos[1], atol=1e-13)

@@ -69,10 +69,9 @@ def test_optimal_geometry_h2():
 
 
 def test_equadrupole_h2o(h2o_qc):
-    """Quadrupole tensor: symmetric, with the expected sign structure for
-    water in this orientation (O at +z, H below)."""
-    q = np.asarray(equadrupole(h2o_qc))
+    """Quadrupole (second-moment form) vs CCCBDB, same oracle and unit as
+    the reference test_properties.py:60-71."""
+    q = np.asarray(equadrupole(h2o_qc, unit="debye*angst"))
     np.testing.assert_allclose(q, q.T, atol=1e-7)
-    # principal components are O(1) a.u. and distinct
-    w = np.linalg.eigvalsh(q)
-    assert np.all(np.abs(w) < 20.0) and w[2] - w[0] > 0.1
+    expect = np.diag([-6.838, -3.972, -5.882])
+    np.testing.assert_allclose(q, expect, rtol=2e-4, atol=1e-3)

@@ -119,6 +119,12 @@ def test_variational_matches_scf():
     e_scf = float(dqc_tpu.HF(mol).run().energy())
     e_var = float(dqc_tpu.HF(mol, variational=True).run().energy())
     assert abs(e_scf - e_var) < 1e-8
+    # QR orbital parametrization (reference orbparams.py QROrbParams)
+    from dqc_tpu.scf.fixed_point import SCFOptions
+    e_qr = float(dqc_tpu.HF(
+        mol, opts=SCFOptions(method="variational", orb_param="qr"),
+    ).run().energy())
+    assert abs(e_scf - e_qr) < 1e-8
 
 
 def test_host_loop_matches_device_solver():

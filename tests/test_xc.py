@@ -98,3 +98,78 @@ def test_higher_derivatives_nan_free():
                 g = jax.jacfwd(g)
             out = g(*args)
             assert np.all(np.isfinite(np.asarray(out))), (name, order)
+
+
+# ---------------------------------------------------------------- TPSS ----
+
+def _h_atom_grid(n=200):
+    """Radial Gauss-Legendre grid + exact H-atom ground-state density
+    quantities: rho = exp(-2r)/pi (one spin-up electron),
+    sigma = |grad rho|^2 = 4 rho^2, tau = rho/2 (iso-orbital, z = 1)."""
+    from numpy.polynomial.legendre import leggauss
+    x, w = leggauss(n)
+    # map (-1,1) -> (0, inf) via r = a(1+x)/(1-x)
+    a = 1.0
+    r = a * (1 + x) / (1 - x)
+    dr = 2 * a / (1 - x) ** 2 * w
+    dv = 4 * np.pi * r ** 2 * dr
+    rho = np.exp(-2 * r) / np.pi
+    return (jnp.asarray(rho), jnp.asarray(4 * rho ** 2),
+            jnp.asarray(rho / 2), jnp.asarray(dv))
+
+
+def test_tpss_x_hydrogen_exact():
+    """TPSS exchange is constructed to give the exact H-atom exchange
+    energy -0.3125 Ha on the exact density (Tao et al. PRL 91, 146401,
+    constraint fixing c and e)."""
+    from dqc_tpu.xc.mgga import MGGA_X_TPSS
+    rho, sig, tau, dv = _h_atom_grid()
+    zero = jnp.zeros_like(rho)
+    e = MGGA_X_TPSS().edens_pol(rho, zero, sig, zero, zero,
+                                tau_u=tau, tau_d=zero)
+    ex = float(jnp.sum(e * dv))
+    assert abs(ex - (-0.3125)) < 5e-4, ex
+
+
+def test_tpss_c_one_electron_free():
+    """TPSS correlation vanishes identically for any one-electron density
+    (self-interaction-free by construction, JCP 120, 6898 eq. 12)."""
+    from dqc_tpu.xc.mgga import MGGA_C_TPSS
+    rho, sig, tau, dv = _h_atom_grid()
+    zero = jnp.zeros_like(rho)
+    e = MGGA_C_TPSS().edens_pol(rho, zero, sig, zero, zero,
+                                tau_u=tau, tau_d=zero)
+    ec = float(jnp.sum(e * dv))
+    assert abs(ec) < 1e-8, ec
+
+
+def test_tpss_uniform_gas_limits():
+    """p=0, z=0, alpha=1: TPSS x -> LDA exchange; TPSS c -> PW92."""
+    from dqc_tpu.xc.mgga import MGGA_X_TPSS, MGGA_C_TPSS
+    rho = RHO
+    tau_unif = 0.3 * (3 * np.pi ** 2) ** (2 / 3) * rho ** (5 / 3)
+    zero = jnp.zeros_like(rho)
+    ex = MGGA_X_TPSS().edens_unpol(rho, sigma=zero, tau=tau_unif)
+    np.testing.assert_allclose(np.asarray(ex),
+                               np.asarray(LDA_X().edens_unpol(rho)),
+                               rtol=1e-10)
+    ec = MGGA_C_TPSS().edens_unpol(rho, sigma=zero, tau=tau_unif)
+    np.testing.assert_allclose(np.asarray(ec),
+                               np.asarray(LDA_C_PW().edens_unpol(rho)),
+                               rtol=1e-7)
+
+
+def test_tpss_pol_unpol_consistency_and_grads():
+    from dqc_tpu.xc.mgga import MGGA_X_TPSS, MGGA_C_TPSS
+    rho, sig = RHO, SIG
+    tau = 0.3 * (3 * np.pi ** 2) ** (2 / 3) * rho ** (5 / 3) * 1.3
+    for xc in (MGGA_X_TPSS(), MGGA_C_TPSS()):
+        e_u = xc.edens_unpol(rho, sigma=sig, tau=tau)
+        e_p = xc.edens_pol(rho / 2, rho / 2, sig / 4, sig / 4, sig / 4,
+                           tau_u=tau / 2, tau_d=tau / 2)
+        np.testing.assert_allclose(np.asarray(e_u), np.asarray(e_p),
+                                   rtol=1e-9, err_msg=type(xc).__name__)
+        # vxc path: grads must be finite (NaN-safety of the clamped forms)
+        g = jax.grad(lambda r: jnp.sum(
+            xc.edens_unpol(r, sigma=sig, tau=tau)))(rho)
+        assert np.all(np.isfinite(np.asarray(g))), type(xc).__name__
