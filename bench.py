@@ -34,6 +34,10 @@ def main():
 
     basis = os.environ.get("BENCH_BASIS", "3-21g")
     mol = _benzene_mol(basis=basis)
+    if os.environ.get("BENCH_DF"):
+        # RI-J/RI-K mode (the reference's own wall-clock harness is DF:
+        # dqc/test/benchmark.py vitamin-C LDA/DF)
+        mol = mol.densityfit()
     mol.set_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                f".bench_theta_{basis}.npz"))
     qc = dq.KS(mol, xc="b3lyp")

@@ -194,11 +194,13 @@ class SCF_QCCalc:
             return f.astype(dtype)
 
         def diis_phase(th, f0, tol, maxiter, tag):
+            import time as _time
             from ..utils.logger import log
             f = f0
             fhist, ehist = [], []
             best_err, best_f, best_it = np.inf, f0, -1
             for it in range(maxiter):
+                _t0 = _time.perf_counter()
                 f_new, e_new = iterate(jnp.asarray(f), th)
                 f_new = np.asarray(f_new, dtype=np.float64)
                 e_new = np.asarray(e_new, dtype=np.float64)
@@ -218,7 +220,8 @@ class SCF_QCCalc:
                 c = (np.linalg.pinv(A, rcond=1e-12) @ rhs)[:h]
                 f = ((c @ np.stack(fhist)).reshape(f_new.shape)
                      if it + 1 >= opts.diis_start else f_new)
-                log(f"host-DIIS[{tag}] it={it} err={errnorm:.3e}")
+                log(f"host-DIIS[{tag}] it={it} err={errnorm:.3e} "
+                    f"dt={_time.perf_counter() - _t0:.3f}s")
                 if errnorm < tol:
                     break
                 # divergence/stall bail-out: hand the best state so far to
@@ -249,6 +252,14 @@ class SCF_QCCalc:
             f0 = np.asarray(jit_rest(dm64, j, k, theta)[0])
         else:
             f0 = gwh_fock(theta, np.float64)
+        if "jk_facs" in theta and "df" in theta:
+            # RI-f64 mid-phase: iterate with RI-J/RI-K (nao^2*naux matmuls,
+            # ~10x cheaper than the exact quartet stream) until the DIIS
+            # error hits the RI accuracy floor, so the exact phase below
+            # only polishes the last few digits. The fixed point is still
+            # exact: the final phase iterates the exact Fock map.
+            theta_ri = {kk: v for kk, v in theta.items() if kk != "jk_facs"}
+            f0 = diis_phase(theta_ri, f0, max(opts.tol, 1e-6), 25, "ri64")
         fstar = diis_phase(theta, f0, opts.tol, opts.maxiter, "f64")
         return jax.jit(eng.dm_from_fock)(jnp.asarray(fstar), theta)
 
@@ -378,6 +389,26 @@ class SCF_QCCalc:
         if theta is None:
             theta = self._build_theta(self._all_params())
         return self.engine.energy(dm, theta)
+
+    def dm2dens(self, coords, dm=None):
+        """Electron density at arbitrary points (nr, 3) -> (nr,).
+        Parity: reference BaseHamilton.aodm2dens (base_hamilton.py:106-120;
+        hcgto.py:283-299). Works for restricted (total density) and
+        polarized (SpinParam of u/d densities) dm; defaults to the
+        converged density."""
+        from ..xc.integrate import density_info
+        if dm is None:
+            assert self._has_run, "call .run() first or pass dm"
+            dm = self._dm
+        if isinstance(dm, SpinParam):
+            dm = jnp.stack([dm.u, dm.d], axis=0)
+        pol = dm.ndim == 3
+        params = self._all_params()
+        info = density_info(self.mol.meta, params["basis"], dm,
+                            jnp.asarray(coords), family=1, polarized=pol)
+        if pol:
+            return SpinParam(u=info["u"]["rho"], d=info["d"]["rho"])
+        return info["rho"]
 
     def get_system(self):
         return self.mol

@@ -141,3 +141,17 @@ def test_host_loop_matches_device_solver():
     finally:
         SCF_QCCalc.HOST_LOOP_NAO = old
     assert abs(e_dev - e_host) < 1e-9
+
+
+def test_dm2dens_integrates_to_nelectrons():
+    """qc.dm2dens (parity: reference aodm2dens) integrated over the
+    molecular Becke grid gives the electron count."""
+    import dqc_tpu
+    mol = dqc_tpu.Mol("H -0.5 0 0; H 0.5 0 0", basis="3-21G", grid=3)
+    qc = dqc_tpu.HF(mol).run()
+    from dqc_tpu.xc.integrate import setup_grid_theta
+    gt = setup_grid_theta(mol.meta, qc._all_params()["basis"],
+                          mol.setup_grid(), family=1)
+    rho = np.asarray(qc.dm2dens(gt["coords"]))
+    n = float(np.sum(rho * np.asarray(gt["dvol"])))
+    assert abs(n - 2.0) < 1e-6, n
