@@ -55,9 +55,13 @@ def main():
     theta = qc._theta
     nao = mol.meta.nao
     if nao >= qc.HOST_LOOP_NAO:
-        e2 = float(jax.jit(qc.engine.energy)(qc._host_solve(theta), theta))
+        def solve_e(th):
+            dm = qc._host_solve(th)
+            j, k = qc._jk_call()(dm, th)
+            return float(jax.jit(qc.engine.energy_from_parts)(dm, j, k, th))
+        e2 = solve_e(theta)
         t0 = time.time()
-        e2 = float(jax.jit(qc.engine.energy)(qc._host_solve(theta), theta))
+        e2 = solve_e(theta)
         t_steady = time.time() - t0
     else:
         dm0 = jnp.zeros((nao, nao))

@@ -109,16 +109,22 @@ class HFEngine:
     def step(self, dm, theta):
         return self.dm_from_fock(self.fock(dm, theta), theta)
 
-    def energy(self, dm, theta):
+    def energy_from_parts(self, dm, j, k, theta):
+        """Total energy from precomputed J/K (host-driven path: J/K come
+        from the per-combo jitted quartet stream, so the energy module
+        stays small)."""
         dmt = self.dm_tot(dm)
         e1 = jnp.einsum("ij,ij->", theta["hcore"], dmt)
-        ej = 0.5 * jnp.einsum("ij,ij->", self._j(theta, dmt), dmt)
-        k = self._k(theta, dm)
+        ej = 0.5 * jnp.einsum("ij,ij->", j, dmt)
         if self.polarized:
             ek = -0.5 * jnp.einsum("sij,sij->", k, dm)
         else:
             ek = -0.25 * jnp.einsum("ij,ij->", k, dm)
         return e1 + ej + ek + theta["enuc"]
+
+    def energy(self, dm, theta):
+        return self.energy_from_parts(dm, self._j(theta, self.dm_tot(dm)),
+                                      self._k(theta, dm), theta)
 
     # --- DIIS plumbing (solver iterates on the Fock matrix) ---
     def diis_err(self, fock, dm, theta):
@@ -165,19 +171,25 @@ class KSEngine(HFEngine):
     def fock(self, dm, theta):
         return self.fock_from_parts(dm, *self.jk_parts(dm, theta), theta)
 
-    def energy(self, dm, theta):
+    def energy_from_parts(self, dm, j, k, theta):
+        """Total energy from precomputed J/K (see HFEngine.energy_from_parts);
+        k is None for pure (exx-free) functionals."""
         from ..xc.integrate import exc_energy
         dmt = self.dm_tot(dm)
         e1 = jnp.einsum("ij,ij->", theta["hcore"], dmt)
-        ej = 0.5 * jnp.einsum("ij,ij->", self._j(theta, dmt), dmt)
+        ej = 0.5 * jnp.einsum("ij,ij->", j, dmt)
         exc = exc_energy(self.xc, dm, theta["grid"], self.polarized,
                          xcparams=theta.get("xc_params"))
         e = e1 + ej + exc + theta["enuc"]
         hyb = self.xc.exx_fraction
         if hyb != 0.0:
-            k = self._k(theta, dm)
             if self.polarized:
                 e = e - 0.5 * hyb * jnp.einsum("sij,sij->", k, dm)
             else:
                 e = e - 0.25 * hyb * jnp.einsum("ij,ij->", k, dm)
         return e
+
+    def energy(self, dm, theta):
+        k = self._k(theta, dm) if self.xc.exx_fraction != 0.0 else None
+        return self.energy_from_parts(dm, self._j(theta, self.dm_tot(dm)),
+                                      k, theta)

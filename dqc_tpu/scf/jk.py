@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.eri import (HermiteFactor, TWO_PI_POW_2_5, _combine_index_sign,
@@ -90,6 +91,86 @@ def _quartet_blocks(fac_p: HermiteFactor, fac_q: HermiteFactor,
     return blk.reshape(n, sa, sb, nq, sc, sd)
 
 
+def _combo_jk(nao: int, ip, iq, same_group: bool, fac_p, fac_q, dmt, dmk,
+              want_j: bool, want_k: bool, block: int):
+    """J/K contributions of one (bra class-group, ket class-group) combo.
+
+    Returns (Jflat_add (nao*nao,) or None, K_add (ns,nao,nao) or None) —
+    raw canonical-quartet contractions; the caller applies the
+    2(A+A^T)/pairing-transpose symmetrizations after summing all combos.
+
+    NOTE on indexing style: every gather/scatter uses only 1-D per-side
+    index vectors (np*s elements). Quartet-sized index grids ((np*s)^2
+    integers per class combo) embedded ~400 MB of constants into the XLA
+    module and OOM-killed the remote TPU compiler."""
+    ns = dmk.shape[0]
+    sa, sb = ip["sa"], ip["sb"]
+    sc, sd = iq["sa"], iq["sb"]
+    np1, np2 = len(ip["row0"]), len(iq["row0"])
+    blk = _quartet_blocks(fac_p, fac_q, sa, sb, sc, sd, block)
+    w = jnp.asarray(ip["w"])[:, None] * jnp.asarray(iq["w"])[None, :]
+    if same_group:
+        # in-graph masks (iota comparisons), not host constants
+        w = (w * jnp.triu(jnp.ones((np1, np2)))
+             * jnp.where(jnp.eye(np1, dtype=bool), 0.5, 1.0))
+    blk = blk * w[:, None, None, :, None, None]
+
+    # index grids (host, small: np*s each)
+    ra = ip["row0"][:, None] + np.arange(sa)     # (np1, sa)
+    rb = ip["col0"][:, None] + np.arange(sb)
+    rc = iq["row0"][:, None] + np.arange(sc)
+    rd = iq["col0"][:, None] + np.arange(sd)
+    raf, rbf = jnp.asarray(ra.ravel()), jnp.asarray(rb.ravel())
+    rcf, rdf = jnp.asarray(rc.ravel()), jnp.asarray(rd.ravel())
+
+    Jadd = Kadd = None
+    if want_j:
+        Jadd = jnp.zeros((nao * nao,), dtype=jnp.float64)
+        dq = dmt[jnp.asarray(rc)[:, :, None, None],
+                 jnp.asarray(rd)[:, None, None, :]][:, :, 0, :]
+        A = jnp.einsum("pabqcd,qcd->pab", blk, dq)
+        dp = dmt[jnp.asarray(ra)[:, :, None, None],
+                 jnp.asarray(rb)[:, None, None, :]][:, :, 0, :]
+        B = jnp.einsum("pabqcd,pab->qcd", blk, dp)
+        idx_ab = (ra[:, :, None] * nao + rb[:, None, :]).ravel()
+        idx_cd = (rc[:, :, None] * nao + rd[:, None, :]).ravel()
+        Jadd = Jadd.at[jnp.asarray(idx_ab)].add(A.ravel())
+        Jadd = Jadd.at[jnp.asarray(idx_cd)].add(B.ravel())
+
+    if want_k:
+        Kadd = jnp.zeros((ns, nao, nao), dtype=jnp.float64)
+
+        # gathered dm blocks for the 4 pairings, per spin; flat
+        # row/col gathers keep index constants 1-D
+        def dmg(r1f, s1, r2f, s2):
+            return dmk[:, r1f, :][:, :, r2f].reshape(ns, np1, s1, np2, s2)
+        P_ac = jnp.einsum("pabqcd,spbqd->spaqc", blk, dmg(rbf, sb, rdf, sd))
+        P_ad = jnp.einsum("pabqcd,spbqc->spaqd", blk, dmg(rbf, sb, rcf, sc))
+        P_bc = jnp.einsum("pabqcd,spaqd->spbqc", blk, dmg(raf, sa, rdf, sd))
+        P_bd = jnp.einsum("pabqcd,spaqc->spbqd", blk, dmg(raf, sa, rcf, sc))
+        for P, r1f, r2f in ((P_ac, raf, rcf), (P_ad, raf, rdf),
+                            (P_bc, rbf, rcf), (P_bd, rbf, rdf)):
+            n2s = P.shape[3] * P.shape[4]
+            P2 = P.reshape(ns, -1, n2s)
+            tmp = jnp.zeros((ns, nao, n2s)).at[:, r1f].add(P2)
+            Kadd = Kadd.at[:, :, r2f].add(tmp)
+    return Jadd, Kadd
+
+
+def _jk_symmetrize(Jflat, K, nao, pol, want_j, want_k):
+    # J: the 8 permutation images contribute 2(A + A^T + B + B^T)
+    # (dm symmetric); K: the 4 pairings + transposes cover all 8 exactly.
+    J = None
+    if want_j:
+        J = Jflat.reshape(nao, nao)
+        J = 2.0 * (J + J.T)
+    if want_k:
+        K = K + jnp.swapaxes(K, -1, -2)
+        if not pol:
+            K = K[0]
+    return J, (K if want_k else None)
+
+
 def jk_matrices(meta: BasisMeta, jk_meta, facs: List[HermiteFactor], dm,
                 want_j: bool = True, want_k: bool = True, block: int = 16):
     """Streaming J and/or K for (possibly spin-stacked) dm.
@@ -102,74 +183,61 @@ def jk_matrices(meta: BasisMeta, jk_meta, facs: List[HermiteFactor], dm,
     dmk = dm if pol else dm[None]
     ns = dmk.shape[0]
 
-    # NOTE on indexing style: every gather/scatter below uses only 1-D
-    # per-side index vectors (np*s elements). Quartet-sized index grids
-    # ((np*s)^2 integers per class combo) embedded ~400 MB of constants
-    # into the XLA module and OOM-killed the remote TPU compiler.
     Jflat = jnp.zeros((nao * nao,), dtype=jnp.float64)
     K = jnp.zeros((ns, nao, nao), dtype=jnp.float64)
 
     ng = len(jk_meta)
     for gi in range(ng):
         for gj in range(gi, ng):
-            ip, iq = jk_meta[gi], jk_meta[gj]
-            sa, sb = ip["sa"], ip["sb"]
-            sc, sd = iq["sa"], iq["sb"]
-            np1, np2 = len(ip["row0"]), len(iq["row0"])
-            blk = _quartet_blocks(facs[gi], facs[gj], sa, sb, sc, sd, block)
-            w = jnp.asarray(ip["w"])[:, None] * jnp.asarray(iq["w"])[None, :]
-            if gi == gj:
-                # in-graph masks (iota comparisons), not host constants
-                w = (w * jnp.triu(jnp.ones((np1, np2)))
-                     * jnp.where(jnp.eye(np1, dtype=bool), 0.5, 1.0))
-            blk = blk * w[:, None, None, :, None, None]
+            Jadd, Kadd = _combo_jk(nao, jk_meta[gi], jk_meta[gj], gi == gj,
+                                   facs[gi], facs[gj], dmt, dmk,
+                                   want_j, want_k, block)
+            if Jadd is not None:
+                Jflat = Jflat + Jadd
+            if Kadd is not None:
+                K = K + Kadd
+    return _jk_symmetrize(Jflat, K, nao, pol, want_j, want_k)
 
-            # index grids (host, small: np*s each)
-            ra = ip["row0"][:, None] + np.arange(sa)     # (np1, sa)
-            rb = ip["col0"][:, None] + np.arange(sb)
-            rc = iq["row0"][:, None] + np.arange(sc)
-            rd = iq["col0"][:, None] + np.arange(sd)
-            raf, rbf = jnp.asarray(ra.ravel()), jnp.asarray(rb.ravel())
-            rcf, rdf = jnp.asarray(rc.ravel()), jnp.asarray(rd.ravel())
 
-            if want_j:
-                dq = dmt[jnp.asarray(rc)[:, :, None, None],
-                         jnp.asarray(rd)[:, None, None, :]][:, :, 0, :]
-                A = jnp.einsum("pabqcd,qcd->pab", blk, dq)
-                dp = dmt[jnp.asarray(ra)[:, :, None, None],
-                         jnp.asarray(rb)[:, None, None, :]][:, :, 0, :]
-                B = jnp.einsum("pabqcd,pab->qcd", blk, dp)
-                idx_ab = (ra[:, :, None] * nao + rb[:, None, :]).ravel()
-                idx_cd = (rc[:, :, None] * nao + rd[:, None, :]).ravel()
-                Jflat = Jflat.at[jnp.asarray(idx_ab)].add(A.ravel())
-                Jflat = Jflat.at[jnp.asarray(idx_cd)].add(B.ravel())
+def host_jk_builder(meta: BasisMeta, jk_meta, want_j: bool, want_k: bool,
+                    block: int = 16):
+    """(dm, theta) -> (J, K) for the host-driven DIIS: each class-group
+    combo is its own jax.jit module. The combined quartet-stream program at
+    def2-SVP scale took >1h on the remote TPU AOT compiler (compile cost is
+    superlinear in module size); ~20 small modules compile in minutes
+    total, cache individually, and add only ~ms of dispatch per iteration.
+    Numerics are identical to jk_matrices up to f64 summation order."""
+    nao = meta.nao
+    ng = len(jk_meta)
+    combos = [(gi, gj) for gi in range(ng) for gj in range(gi, ng)]
 
-            if want_k:
-                # gathered dm blocks for the 4 pairings, per spin; flat
-                # row/col gathers keep index constants 1-D
-                def dmg(r1f, s1, r2f, s2):
-                    return dmk[:, r1f, :][:, :, r2f].reshape(
-                        ns, np1, s1, np2, s2)
-                P_ac = jnp.einsum("pabqcd,spbqd->spaqc", blk,
-                                  dmg(rbf, sb, rdf, sd))
-                P_ad = jnp.einsum("pabqcd,spbqc->spaqd", blk,
-                                  dmg(rbf, sb, rcf, sc))
-                P_bc = jnp.einsum("pabqcd,spaqd->spbqc", blk,
-                                  dmg(raf, sa, rdf, sd))
-                P_bd = jnp.einsum("pabqcd,spaqc->spbqd", blk,
-                                  dmg(raf, sa, rcf, sc))
-                for P, r1f, r2f in ((P_ac, raf, rcf), (P_ad, raf, rdf),
-                                    (P_bc, rbf, rcf), (P_bd, rbf, rdf)):
-                    n2s = P.shape[3] * P.shape[4]
-                    P2 = P.reshape(ns, -1, n2s)
-                    tmp = jnp.zeros((ns, nao, n2s)).at[:, r1f].add(P2)
-                    K = K.at[:, :, r2f].add(tmp)
+    jits = {}
+    for (gi, gj) in combos:
+        def mk(gi=gi, gj=gj):
+            def f(fac_p, fac_q, dmt, dmk):
+                return _combo_jk(nao, jk_meta[gi], jk_meta[gj], gi == gj,
+                                 fac_p, fac_q, dmt, dmk,
+                                 want_j, want_k, block)
+            return jax.jit(f)
+        jits[(gi, gj)] = mk()
 
-    # J: the 8 permutation images contribute 2(A + A^T + B + B^T)
-    # (dm symmetric); K: the 4 pairings + transposes cover all 8 exactly.
-    J = Jflat.reshape(nao, nao)
-    J = 2.0 * (J + J.T)
-    K = K + jnp.swapaxes(K, -1, -2)
-    if not pol:
-        K = K[0]
-    return (J if want_j else None), (K if want_k else None)
+    _sym = {pol: jax.jit(lambda Jf, K, pol=pol: _jk_symmetrize(
+        Jf, K, nao, pol, want_j, want_k)) for pol in (False, True)}
+
+    def run(dm, theta):
+        facs = theta["jk_facs"]
+        pol = dm.ndim == 3
+        dmt = dm.sum(axis=0) if pol else dm
+        dmk = dm if pol else dm[None]
+        ns = dmk.shape[0]
+        Jflat = jnp.zeros((nao * nao,), dtype=jnp.float64)
+        K = jnp.zeros((ns, nao, nao), dtype=jnp.float64)
+        for (gi, gj) in combos:
+            Jadd, Kadd = jits[(gi, gj)](facs[gi], facs[gj], dmt, dmk)
+            if Jadd is not None:
+                Jflat = Jflat + Jadd
+            if Kadd is not None:
+                K = K + Kadd
+        return _sym[pol](Jflat, K)
+
+    return run

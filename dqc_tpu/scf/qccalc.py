@@ -156,6 +156,31 @@ class SCF_QCCalc:
     # all-device while_loop + implicit-diff program.
     HOST_LOOP_NAO = 96
 
+    def _jk_call(self):
+        """(dm, theta) -> (J, K) for host-driven execution. In exact
+        quartet-stream mode each class-group combo is its own jit module
+        (the monolithic module took >1h on the remote TPU AOT compiler at
+        def2-SVP scale — compile cost is superlinear in module size); RI
+        and dense-ERI paths keep one small module. Cached per calc."""
+        fn = getattr(self, "_jk_call_fn", None)
+        if fn is None:
+            eng = self.engine
+            jit_whole = jax.jit(eng.jk_parts)
+            split = {}
+
+            def fn(dm, th):
+                if "jk_facs" not in th:
+                    return jit_whole(dm, th)
+                if "f" not in split:
+                    from .jk import host_jk_builder
+                    bmeta, jkm = eng.jk_info
+                    want_k = getattr(getattr(eng, "xc", None),
+                                     "exx_fraction", 1.0) != 0.0
+                    split["f"] = host_jk_builder(bmeta, jkm, True, want_k)
+                return split["f"](dm, th)
+            self._jk_call_fn = fn
+        return fn
+
     def _host_solve(self, theta):
         eng, opts = self.engine, self.opts
         nao = self.mol.meta.nao
@@ -167,7 +192,7 @@ class SCF_QCCalc:
         # def2-SVP scale, and XLA compile cost is superlinear in module
         # size. Composition overhead is 2 extra dispatches per iteration.
         jit_dm = jax.jit(eng.dm_from_fock)
-        jit_jk = jax.jit(eng.jk_parts)
+        jit_jk = self._jk_call()
 
         @jax.jit
         def jit_rest(dm, j, k, th):
@@ -303,7 +328,9 @@ class SCF_QCCalc:
                 self._all_params(with_fields=False), cache_fname)
             if use_host_loop:
                 self._dm = self._host_solve(theta)
-                self._energy = jax.jit(self.engine.energy)(self._dm, theta)
+                j, k = self._jk_call()(self._dm, theta)
+                self._energy = jax.jit(self.engine.energy_from_parts)(
+                    self._dm, j, k, theta)
             else:
                 def _solve(theta):
                     dm0 = jnp.zeros(

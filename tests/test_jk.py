@@ -37,3 +37,26 @@ def test_stream_jk_polarized():
     facs = build_jk_factors(meta, params, jkm)
     _, K = jk_matrices(meta, jkm, facs, dm, want_j=False)
     np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref), atol=1e-11)
+
+
+def test_host_loop_stream_split_jk_matches_dense():
+    """Host-driven DIIS with the per-combo jitted quartet stream (the
+    def2-SVP-scale execution mode) reproduces the dense-ERI device-loop
+    energy."""
+    import dqc_tpu
+    from dqc_tpu.scf import qccalc as qmod
+    mol = dqc_tpu.Mol("O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867",
+                      basis="3-21g")
+    e_ref = float(dqc_tpu.HF(mol).run().energy())
+    old_limit, old_nao = qmod.DENSE_ERI_BYTES_LIMIT, qmod.SCF_QCCalc.HOST_LOOP_NAO
+    try:
+        qmod.DENSE_ERI_BYTES_LIMIT = 0          # force streaming quartets
+        qmod.SCF_QCCalc.HOST_LOOP_NAO = 1       # force host-driven DIIS
+        mol2 = dqc_tpu.Mol(
+            "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867",
+            basis="3-21g")
+        e_host = float(dqc_tpu.HF(mol2).run().energy())
+    finally:
+        qmod.DENSE_ERI_BYTES_LIMIT = old_limit
+        qmod.SCF_QCCalc.HOST_LOOP_NAO = old_nao
+    assert abs(e_ref - e_host) < 1e-9, (e_ref, e_host)
