@@ -55,10 +55,12 @@ def main():
     theta = qc._theta
     nao = mol.meta.nao
     if nao >= qc.HOST_LOOP_NAO:
+        efn = jax.jit(qc.engine.energy_from_parts)  # one jit: reused below
+
         def solve_e(th):
             dm = qc._host_solve(th)
             j, k = qc._jk_call()(dm, th)
-            return float(jax.jit(qc.engine.energy_from_parts)(dm, j, k, th))
+            return float(efn(dm, j, k, th))
         e2 = solve_e(theta)
         t0 = time.time()
         e2 = solve_e(theta)

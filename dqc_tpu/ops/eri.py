@@ -105,10 +105,20 @@ def _combine_index_sign(L1: int, L2: int):
 def coulomb_contract(bra: HermiteFactor, ket: HermiteFactor, block: int = 32):
     """out[b_batch, b_sph, k_batch, k_sph] = (bra | 1/r12 | ket).
 
-    Chunked over the bra batch axis to bound the Hermite-R memory."""
+    Chunked over the bra batch axis to bound the Hermite-R memory.
+    The R_{H+G} index combination is folded into the ket factor as a static
+    selection tensor contracted on the MXU (see scf/jk._quartet_blocks for
+    the rationale: fancy-index gathers on f64 run on the slow emulated VPU
+    path and materialize an (nh1*nh2)-wide intermediate)."""
     Ltot = bra.L + ket.L
     IM, sign = _combine_index_sign(bra.L, ket.L)
-    Hk = ket.H * jnp.asarray(sign)[None, None, None, :]
+    nh1, nh2 = IM.shape
+    nht = len(hermite_list(Ltot))
+    SEL = np.zeros((nht, nh1, nh2))
+    for H in range(nh1):
+        for G in range(nh2):
+            SEL[IM[H, G], H, G] = sign[G]
+    W = jnp.einsum("tHG,qlcG->qltHc", jnp.asarray(SEL), ket.H)
 
     def body(args):
         Hb, pb, Pb = args["H"], args["p"], args["P"]
@@ -118,8 +128,8 @@ def coulomb_contract(bra: HermiteFactor, ket: HermiteFactor, block: int = 32):
         PQ = Pb[:, :, None, None, :] - ket.P[None, None, :, :, :]
         Rarr = hermite_R_stacked(Ltot, theta, PQ)    # (B,K1,Q,K2,nhtot)
         pref = TWO_PI_POW_2_5 / (p1 * p2 * jnp.sqrt(p1 + p2))
-        M = Rarr[..., IM] * pref[..., None, None]    # (B,K1,Q,K2,nh1,nh2)
-        T1 = jnp.einsum("bkqlHG,qlcG->bkqHc", M, Hk)
+        Rs = Rarr * pref[..., None]
+        T1 = jnp.einsum("bkqlt,qltHc->bkqHc", Rs, W)
         return jnp.einsum("bkaH,bkqHc->baqc", Hb, T1)
 
     n = bra.H.shape[0]

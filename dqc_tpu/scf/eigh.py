@@ -15,11 +15,44 @@ import jax.numpy as jnp
 
 _EPS = 1e-12
 
+# eigenvector-polish constants (see _polish below)
+_POLISH_EPS = 1e-5     # Lorentzian gap broadening for the correction
+_POLISH_CLAMP = 0.03   # max rotation angle per pair (rad)
+
+
+def _polish(a, w, v):
+    """One first-order Jacobi/perturbation polish of an approximate
+    eigendecomposition.
+
+    XLA's TPU eigensolver returns f64 eigenvectors with only ~f32-level
+    residuals (measured: |A v - v w| ~ 5.6e-6 at nao=114 while CPU LAPACK
+    gives 1.4e-14). That puts a ~1e-5 floor on the SCF commutator
+    |FDS-SDF|, stalling DIIS far above tol. Rotating v by the first-order
+    perturbation solution E_ab = R_ab / (R_bb - R_aa), R = v^T A v, pushes
+    the occupied-virtual residual down quadratically (~1e-10 for
+    HOMO-LUMO-sized gaps). Near-degenerate pairs get a Lorentzian-broadened,
+    smoothly clamped correction: rotations inside (near-)degenerate
+    subspaces are harmless for any downstream quantity that is invariant
+    under them (the density matrix is — same invariance the broadened JVP
+    below relies on). On CPU (exact LAPACK) R is diagonal to ~1e-15 and
+    this is a no-op. Cost: 3 extra matmuls per eigh."""
+    r = jnp.einsum("...ia,...ij,...jb->...ab", v, a, v)
+    w2 = jnp.diagonal(r, axis1=-2, axis2=-1)          # Rayleigh quotients
+    d = w2[..., None, :] - w2[..., :, None]           # d_ab = R_bb - R_aa
+    e = r * d / (d * d + _POLISH_EPS * _POLISH_EPS)
+    e = e / (1.0 + jnp.abs(e) / _POLISH_CLAMP)        # smooth angle clamp
+    eye = jnp.eye(w.shape[-1], dtype=a.dtype)
+    e = e * (1.0 - eye)                               # antisymmetric
+    v = v + jnp.einsum("...ia,...ab->...ib", v, e)
+    # first-order renormalization (columns of v(I+E) have norm 1 + O(E^2))
+    v = v / jnp.sqrt(jnp.sum(v * v, axis=-2, keepdims=True))
+    return w2, v
+
 
 @jax.custom_jvp
 def safe_eigh(a):
     res = jnp.linalg.eigh(a)
-    return res.eigenvalues, res.eigenvectors
+    return _polish(a, res.eigenvalues, res.eigenvectors)
 
 
 @safe_eigh.defjvp

@@ -67,10 +67,27 @@ def build_jk_factors(meta: BasisMeta, params, jk_meta):
 def _quartet_blocks(fac_p: HermiteFactor, fac_q: HermiteFactor,
                     sa: int, sb: int, sc: int, sd: int, block: int):
     """Yields the (np, sa, sb, nq, sc, sd) block for one class-group pair,
-    chunked over the bra pair axis (materialized whole — sizes are MBs)."""
+    chunked over the bra pair axis (materialized whole — sizes are MBs).
+
+    The Hermite-index combination R_{H+G} is folded into the ket factor as
+    a static 0/1 selection tensor contracted on the MXU:
+        W[q,l,t,H,c] = sum_G [H+G==t] (-1)^|G| Hk[q,l,c,G]
+        T1[b,k,q,H,c] = sum_{l,t} pref*R[b,k,q,l,t] W[q,l,t,H,c]
+    Fancy-index gathers (R[..., IM]) run on the f64-emulated VPU gather path
+    and materialize a (B,K1,Q,K2,nh1,nh2) intermediate in HBM — measured to
+    dominate the J/K build; the matmul form does ~nht/nh2 more flops but
+    entirely on the MXU."""
     IM, sign = _combine_index_sign(fac_p.L, fac_q.L)
-    Hk = fac_q.H * jnp.asarray(sign)[None, None, None, :]
     Ltot = fac_p.L + fac_q.L
+    nh1, nh2 = IM.shape
+    from ..ops.mcd import hermite_list
+    nht = len(hermite_list(Ltot))
+    SEL = np.zeros((nht, nh1, nh2))
+    for H in range(nh1):
+        for G in range(nh2):
+            SEL[IM[H, G], H, G] = sign[G]
+    # ket-side fold (tiny): (nq, l, t, H*c)
+    W = jnp.einsum("tHG,qlcG->qltHc", jnp.asarray(SEL), fac_q.H)
 
     def body(args):
         Hb, pb, Pb = args["H"], args["p"], args["P"]
@@ -80,8 +97,8 @@ def _quartet_blocks(fac_p: HermiteFactor, fac_q: HermiteFactor,
         PQ = Pb[:, :, None, None, :] - fac_q.P[None, None, :, :, :]
         Rarr = hermite_R_stacked(Ltot, theta, PQ)
         pref = TWO_PI_POW_2_5 / (p1 * p2 * jnp.sqrt(p1 + p2))
-        M = Rarr[..., IM] * pref[..., None, None]
-        T1 = jnp.einsum("bkqlHG,qlcG->bkqHc", M, Hk)
+        Rs = Rarr * pref[..., None]
+        T1 = jnp.einsum("bkqlt,qltHc->bkqHc", Rs, W)
         return jnp.einsum("bkaH,bkqHc->baqc", Hb, T1)
 
     n = fac_p.H.shape[0]

@@ -186,22 +186,58 @@ class SCF_QCCalc:
         nao = self.mol.meta.nao
         shape = ((2, nao, nao) if eng.polarized else (nao, nao))
 
-        # three separate XLA modules per iteration (eigh | quartet-stream
-        # J/K | hcore+vxc+DIIS error): the combined program's compile blew
-        # past the remote TPU AOT compiler's memory/time budget at
-        # def2-SVP scale, and XLA compile cost is superlinear in module
-        # size. Composition overhead is 2 extra dispatches per iteration.
-        jit_dm = jax.jit(eng.dm_from_fock)
+        # Recompute the orthogonalizer on the host in LAPACK f64. A theta
+        # served from an on-disk cache may carry X built by XLA's TPU
+        # eigensolver, whose eigenvectors are only ~f32-accurate: with
+        # X^T S X = I + E, |E|~5e-6, the commutator metric X^T(FDS-SDF)X
+        # has a nonzero floor (~|F|*occ*|E| ~ 3e-5) at the *true* fixed
+        # point, so DIIS stalls there and the electron count Tr(DS) is off
+        # by ~1e-5. Exact X restores err -> 0 at the fixed point.
+        s_h = np.asarray(theta["ovlp"], dtype=np.float64)
+        w_s, v_s = np.linalg.eigh(0.5 * (s_h + s_h.T))
+        keep_s = w_s > 1e-9 * w_s[-1]
+        inv_sqrt = np.where(keep_s, 1.0 / np.sqrt(np.where(keep_s, w_s, 1.0)),
+                            0.0)
+        theta = dict(theta)
+        theta["X"] = jnp.asarray(v_s * inv_sqrt[None, :])
+        theta["keep"] = jnp.asarray(keep_s)
+
+        # two XLA modules per iteration (quartet-stream J/K | hcore+vxc+
+        # DIIS error): the combined program's compile blew past the remote
+        # TPU AOT compiler's memory/time budget at def2-SVP scale, and XLA
+        # compile cost is superlinear in module size. The eigh runs on the
+        # host in LAPACK f64: XLA's TPU eigensolver returns eigenvectors
+        # with only ~f32-level residuals (~5.6e-6 at nao=114), which put a
+        # ~3e-5 floor on the DIIS error; LAPACK is exact and takes ~ms at
+        # these sizes (the loop is host-driven anyway).
+        X_h = np.asarray(theta["X"], dtype=np.float64)
+        keep_h = np.asarray(theta["keep"])
+        occ_h = np.asarray(theta["occ"], dtype=np.float64)
+        pin_h = np.where(keep_h, 0.0, 1e7)
+
+        def host_dm(fock):
+            f = np.asarray(fock, dtype=np.float64)
+            fp = np.einsum("im,...ij,jn->...mn", X_h, f, X_h)
+            fp = fp + np.diag(pin_h)
+            _, u = np.linalg.eigh(fp)
+            c = np.einsum("ij,...jk->...ik", X_h, u)
+            return np.einsum("...ik,...k,...jk->...ij", c, occ_h, c)
+
         jit_jk = self._jk_call()
 
-        @jax.jit
-        def jit_rest(dm, j, k, th):
-            f_new = eng.fock_from_parts(dm, j, k, th)
-            err = eng.diis_err(f_new, dm, th)
-            return f_new, err
+        # cached on the calc: a fresh closure per _host_solve call would
+        # retrace (and re-load through the compile cache) every solve
+        jit_rest = getattr(self, "_jit_rest_fn", None)
+        if jit_rest is None:
+            @jax.jit
+            def jit_rest(dm, j, k, th):
+                f_new = eng.fock_from_parts(dm, j, k, th)
+                err = eng.diis_err(f_new, dm, th)
+                return f_new, err
+            self._jit_rest_fn = jit_rest
 
         def iterate(fock, th):
-            dm = jit_dm(fock, th)
+            dm = jnp.asarray(host_dm(fock), dtype=fock.dtype)
             j, k = jit_jk(dm, th)
             return jit_rest(dm, j, k, th)
 
@@ -218,15 +254,16 @@ class SCF_QCCalc:
                 f = np.stack([f, f])
             return f.astype(dtype)
 
-        def diis_phase(th, f0, tol, maxiter, tag):
+        def diis_phase(th, f0, tol, maxiter, tag, iter_fn=None, patience=12):
             import time as _time
             from ..utils.logger import log
+            iter_fn = iter_fn or iterate
             f = f0
             fhist, ehist = [], []
             best_err, best_f, best_it = np.inf, f0, -1
             for it in range(maxiter):
                 _t0 = _time.perf_counter()
-                f_new, e_new = iterate(jnp.asarray(f), th)
+                f_new, e_new = iter_fn(jnp.asarray(f), th)
                 f_new = np.asarray(f_new, dtype=np.float64)
                 e_new = np.asarray(e_new, dtype=np.float64)
                 errnorm = np.abs(e_new).max()
@@ -234,15 +271,26 @@ class SCF_QCCalc:
                     best_err, best_f, best_it = errnorm, f_new, it
                 fhist = (fhist + [f_new.ravel()])[-opts.diis_size:]
                 ehist = (ehist + [e_new.ravel()])[-opts.diis_size:]
-                E = np.stack(ehist)
-                B = E @ E.T
-                h = len(ehist)
-                A = np.zeros((h + 1, h + 1))
-                A[:h, :h] = B / max(np.abs(B).max(), 1e-300)
-                A[:h, h] = A[h, :h] = 1.0
-                rhs = np.zeros(h + 1)
-                rhs[h] = 1.0
-                c = (np.linalg.pinv(A, rcond=1e-12) @ rhs)[:h]
+
+                def coeffs(eh):
+                    E = np.stack(eh)
+                    B = E @ E.T
+                    h = len(eh)
+                    A = np.zeros((h + 1, h + 1))
+                    A[:h, :h] = B / max(np.abs(B).max(), 1e-300)
+                    A[:h, h] = A[h, :h] = 1.0
+                    rhs = np.zeros(h + 1)
+                    rhs[h] = 1.0
+                    return (np.linalg.pinv(A, rcond=1e-12) @ rhs)[:h]
+
+                c = coeffs(ehist)
+                # conditioning guard: near the floor the error vectors
+                # become linearly dependent and the extrapolation
+                # coefficients blow up, amplifying noise in the Fock
+                # combination — drop oldest vectors until tame (CDIIS)
+                while np.abs(c).sum() > 20.0 and len(ehist) > 2:
+                    fhist, ehist = fhist[1:], ehist[1:]
+                    c = coeffs(ehist)
                 f = ((c @ np.stack(fhist)).reshape(f_new.shape)
                      if it + 1 >= opts.diis_start else f_new)
                 log(f"host-DIIS[{tag}] it={it} err={errnorm:.3e} "
@@ -252,14 +300,18 @@ class SCF_QCCalc:
                 # divergence/stall bail-out: hand the best state so far to
                 # the next (f64) phase instead of burning iterations
                 if (errnorm > 1e3 * max(best_err, 1e-300)
-                        or it - best_it >= 12):
+                        or it - best_it >= patience):
                     log(f"host-DIIS[{tag}] bail at it={it} "
                         f"(best err={best_err:.3e} at it={best_it})")
                     return best_f
             return f
 
+        # streaming mode skips the f32 warmup: its per-iteration time is
+        # dispatch/vxc-bound (measured equal to the f64-RI iteration at
+        # def2-SVP benzene scale), so the RI-f64 phase below subsumes it
         mixed_ok = (getattr(getattr(eng, "xc", None), "family", 1) <= 2
-                    and getattr(eng, "supports_mixed", True))
+                    and getattr(eng, "supports_mixed", True)
+                    and "jk_facs" not in theta)
         if opts.mixed and mixed_ok:
             import jax.tree_util as jtu
             theta32 = jax.jit(lambda th: jtu.tree_map(
@@ -270,9 +322,7 @@ class SCF_QCCalc:
                            if k != "jk_facs"}
             f = diis_phase(theta32, gwh_fock(theta32, np.float32),
                            opts.mixed_tol, opts.mixed_maxiter, "f32")
-            dm64 = jnp.asarray(
-                jit_dm(jnp.asarray(f, dtype=np.float32), theta32),
-                dtype=jnp.float64)
+            dm64 = jnp.asarray(host_dm(f), dtype=jnp.float64)
             j, k = jit_jk(dm64, theta)
             f0 = np.asarray(jit_rest(dm64, j, k, theta)[0])
         else:
@@ -280,13 +330,64 @@ class SCF_QCCalc:
         if "jk_facs" in theta and "df" in theta:
             # RI-f64 mid-phase: iterate with RI-J/RI-K (nao^2*naux matmuls,
             # ~10x cheaper than the exact quartet stream) until the DIIS
-            # error hits the RI accuracy floor, so the exact phase below
-            # only polishes the last few digits. The fixed point is still
-            # exact: the final phase iterates the exact Fock map.
+            # error hits the RI accuracy floor, then dual-level polish.
             theta_ri = {kk: v for kk, v in theta.items() if kk != "jk_facs"}
-            f0 = diis_phase(theta_ri, f0, max(opts.tol, 1e-6), 25, "ri64")
-        fstar = diis_phase(theta, f0, opts.tol, opts.maxiter, "f64")
-        return jax.jit(eng.dm_from_fock)(jnp.asarray(fstar), theta)
+            f0 = diis_phase(theta_ri, f0, max(opts.tol, 1e-6), 25, "ri64",
+                            patience=4)
+            fstar = self._dual_level_phase(
+                theta, theta_ri, f0, host_dm, jit_jk, jit_rest, diis_phase)
+        else:
+            fstar = diis_phase(theta, f0, opts.tol, opts.maxiter, "f64")
+        return jnp.asarray(host_dm(fstar), dtype=jnp.float64)
+
+    def _dual_level_phase(self, theta, theta_ri, f0, host_dm, jit_jk,
+                          jit_rest, diis_phase):
+        """Exact polish at RI cost: outer iterations evaluate the exact
+        quartet-stream J/K once at the current density and freeze the
+        exact-minus-RI Fock correction; the inner DIIS iterates the cheap
+        RI map plus that frozen correction. The converged point satisfies
+        F_exact(D) D S = S D F_exact(D): when the inner loop reaches its
+        fixed point and the outer correction stops changing, the Fock is
+        exactly hcore + J_exact(D) [+ vxc - a*K_exact(D)]. Each outer
+        cycle contracts the error by the (tiny) derivative of the RI error
+        w.r.t. the density, so 2-3 exact builds replace O(10) exact DIIS
+        iterations (~21 s each at def2-SVP benzene scale)."""
+        from ..utils.logger import log
+        opts = self.opts
+        f = f0
+        best_err, best_f = np.inf, f0
+        for outer in range(8):
+            dm = jnp.asarray(host_dm(f), dtype=jnp.float64)
+            j_ex, k_ex = jit_jk(dm, theta)
+            f_new, e_new = jit_rest(dm, j_ex, k_ex, theta)
+            errnorm = float(np.abs(np.asarray(e_new)).max())
+            log(f"host-DIIS[dual] outer={outer} exact-err={errnorm:.3e}")
+            f = np.asarray(f_new, dtype=np.float64)
+            if errnorm < opts.tol:
+                return f
+            # stagnation exit: each outer cycle costs one exact J/K build;
+            # stop as soon as the exact-map error stops halving (the
+            # achievable floor — set by DIIS conditioning at ~1e-7-level
+            # residuals — is far below the <=1 uHa energy target already)
+            if errnorm > 0.5 * best_err:
+                return best_f if errnorm > best_err else f
+            if errnorm < best_err:
+                best_err, best_f = errnorm, f
+            j_ri, k_ri = jit_jk(dm, theta_ri)
+            dj = j_ex - j_ri
+            dk = (k_ex - k_ri) if k_ex is not None else None
+
+            def iter_corr(fock, th):
+                d = jnp.asarray(host_dm(fock), dtype=jnp.float64)
+                j, k = jit_jk(d, th)
+                j = j + dj
+                if dk is not None:
+                    k = k + dk
+                return jit_rest(d, j, k, th)
+
+            f = diis_phase(theta_ri, f, max(opts.tol * 0.1, 1e-13), 20,
+                           f"dual{outer}", iter_fn=iter_corr, patience=4)
+        return f
 
     def solve_dm(self, params):
         """params -> converged density matrix (implicit-diff aware)."""
