@@ -126,9 +126,8 @@ def coulomb_contract(bra: HermiteFactor, ket: HermiteFactor, block: int = 32):
         p2 = ket.p[None, None, :, :]
         theta = p1 * p2 / (p1 + p2)
         PQ = Pb[:, :, None, None, :] - ket.P[None, None, :, :, :]
-        Rarr = hermite_R_stacked(Ltot, theta, PQ)    # (B,K1,Q,K2,nhtot)
         pref = TWO_PI_POW_2_5 / (p1 * p2 * jnp.sqrt(p1 + p2))
-        Rs = Rarr * pref[..., None]
+        Rs = hermite_R_stacked(Ltot, theta, PQ, scale=pref)  # (B,K1,Q,K2,nht)
         T1 = jnp.einsum("bkqlt,qltHc->bkqHc", Rs, W)
         return jnp.einsum("bkaH,bkqHc->baqc", Hb, T1)
 

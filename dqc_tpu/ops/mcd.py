@@ -61,18 +61,22 @@ def e_coeffs(la: int, lb: int, PA, PB, inv2p) -> Dict[Tuple[int, int, int], obje
     return E
 
 
-def hermite_coulomb_R(L: int, p, PC):
+def hermite_coulomb_R(L: int, p, PC, scale=None):
     """Hermite Coulomb integrals R_{tuv} = R^0_{tuv}(p, PC).
 
     p: (...,), PC: (..., 3). Returns dict {(t,u,v): (...,)} for t+u+v <= L.
     R^n_{000} = (-2p)^n F_n(p |PC|^2); index raising:
       R^n_{t+1,u,v} = t R^{n+1}_{t-1,u,v} + X_PC R^{n+1}_{t,u,v}  (etc.)
+
+    `scale` (optional, broadcastable to p): multiplies every R value; folded
+    into the Boys base here because scaling the final stacked (..., nh)
+    array hits the slow small-minor-dim layout path on TPU.
     """
+    from .boys import boys_list
     T = p * jnp.sum(PC * PC, axis=-1)
-    F = boys(T, L)                         # (..., L+1)
+    base = boys_list(T, L)                 # list of L+1 arrays, T's shape
     m2p = -2.0 * p
-    base = [F[..., n] for n in range(L + 1)]
-    pw = jnp.ones_like(p)
+    pw = jnp.ones_like(p) if scale is None else scale
     for n in range(L + 1):
         base[n] = base[n] * pw
         if n < L:
@@ -173,9 +177,9 @@ def e_coeffs_stacked(la: int, lb: int, PA, PB, inv2p):
     return out.reshape(out.shape[:-1] + (T, la + 1, lb + 1))
 
 
-def hermite_R_stacked(L: int, p, PC):
+def hermite_R_stacked(L: int, p, PC, scale=None):
     """R_{tuv} stacked over hermite_list(L): returns (..., nh)."""
-    R = hermite_coulomb_R(L, p, PC)
+    R = hermite_coulomb_R(L, p, PC, scale=scale)
     return jnp.stack([R[h] for h in hermite_list(L)], axis=-1)
 
 

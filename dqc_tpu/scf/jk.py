@@ -95,9 +95,8 @@ def _quartet_blocks(fac_p: HermiteFactor, fac_q: HermiteFactor,
         p2 = fac_q.p[None, None, :, :]
         theta = p1 * p2 / (p1 + p2)
         PQ = Pb[:, :, None, None, :] - fac_q.P[None, None, :, :, :]
-        Rarr = hermite_R_stacked(Ltot, theta, PQ)
         pref = TWO_PI_POW_2_5 / (p1 * p2 * jnp.sqrt(p1 + p2))
-        Rs = Rarr * pref[..., None]
+        Rs = hermite_R_stacked(Ltot, theta, PQ, scale=pref)
         T1 = jnp.einsum("bkqlt,qltHc->bkqHc", Rs, W)
         return jnp.einsum("bkaH,bkqHc->baqc", Hb, T1)
 
