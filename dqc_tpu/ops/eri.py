@@ -118,7 +118,8 @@ def coulomb_contract(bra: HermiteFactor, ket: HermiteFactor, block: int = 32):
     for H in range(nh1):
         for G in range(nh2):
             SEL[IM[H, G], H, G] = sign[G]
-    W = jnp.einsum("tHG,qlcG->qltHc", jnp.asarray(SEL), ket.H)
+    W = jnp.einsum("tHG,qlcG->qltHc",
+                   jnp.asarray(SEL, dtype=ket.H.dtype), ket.H)
 
     def body(args):
         Hb, pb, Pb = args["H"], args["p"], args["P"]

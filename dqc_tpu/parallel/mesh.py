@@ -6,6 +6,9 @@ is the TPU-native scale-out layer designed from the workload's own axes:
   dp   — batch of molecules (neural-XC training, geometry screening)
   grid — quadrature points (the long axis: 1e5-1e6 points; XC work is
          pointwise + one psum, the ring-attention-shaped axis here)
+  tp   — tensor parallelism over the density-fitting auxiliary dimension
+         (naux ~ 3-5x nao): each device holds a j3c slab, the fitted
+         coefficients/Coulomb assembly reduce with one psum over ICI
 
 Usage: `with use_mesh(make_mesh(...)):` around jitted calls; the XC
 integration layer consults the active mesh and applies sharding constraints
@@ -24,12 +27,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _ACTIVE_MESH: Optional[Mesh] = None
 
 
-def make_mesh(n_dp: int = 1, n_grid: int = 1, devices=None) -> Mesh:
+def make_mesh(n_dp: int = 1, n_grid: int = 1, n_tp: int = 1,
+              devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    n = n_dp * n_grid
+    n = n_dp * n_grid * n_tp
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    arr = np.asarray(devices[:n]).reshape(n_dp, n_grid)
-    return Mesh(arr, axis_names=("dp", "grid"))
+    arr = np.asarray(devices[:n]).reshape(n_dp, n_grid, n_tp)
+    return Mesh(arr, axis_names=("dp", "grid", "tp"))
 
 
 @contextlib.contextmanager
@@ -48,16 +52,21 @@ def active_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH
 
 
-def shard_grid_axis(x, axis: int = 0):
-    """Apply a sharding constraint over the 'grid' mesh axis to the given
-    array axis (no-op without an active mesh)."""
+def shard_axis(x, name: str, axis: int = 0):
+    """Apply a sharding constraint binding array axis `axis` to mesh axis
+    `name` (no-op without an active mesh or when the mesh lacks the axis)."""
     mesh = _ACTIVE_MESH
-    if mesh is None or "grid" not in mesh.axis_names:
+    if mesh is None or name not in mesh.axis_names:
         return x
     spec = [None] * x.ndim
-    spec[axis] = "grid"
+    spec[axis] = name
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*spec)))
+
+
+def shard_grid_axis(x, axis: int = 0):
+    """Sharding constraint over the 'grid' mesh axis (see shard_axis)."""
+    return shard_axis(x, "grid", axis)
 
 
 def replicated(x):

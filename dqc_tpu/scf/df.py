@@ -32,13 +32,23 @@ def build_df_theta(meta, params, meta_aux, params_aux):
 
 def df_j(df, dm_tot):
     """Coulomb matrix from fitted density: J = (ij|P) c_P,
-    c = j2c^{-1} (P|kl) dm_kl."""
-    rho_p = jnp.einsum("klp,kl->p", df["j3c"], dm_tot)
+    c = j2c^{-1} (P|kl) dm_kl.
+
+    Tensor-parallel under an active mesh with a 'tp' axis: the j3c slab is
+    sharded over its aux dimension, each device contracts its slab, and
+    GSPMD inserts the psum/all-gather for the aux reductions over ICI."""
+    from ..parallel.mesh import shard_axis
+    j3c = shard_axis(df["j3c"], "tp", 2)
+    rho_p = jnp.einsum("klp,kl->p", j3c, dm_tot)
     c = df["v_inv"] @ rho_p
-    return jnp.einsum("ijp,p->ij", df["j3c"], c)
+    return jnp.einsum("ijp,p->ij", j3c, c)
 
 
 def df_k(df, dm):
-    """RI-K exchange: K_ij = (ik|P) j2c^{-1}_PQ (Q|jl) dm_kl."""
-    b = jnp.einsum("ikp,pq->ikq", df["j3c"], df["v_inv"])
-    return jnp.einsum("ikq,...kl,jlq->...ij", b, dm, df["j3c"])
+    """RI-K exchange: K_ij = (ik|P) j2c^{-1}_PQ (Q|jl) dm_kl.
+
+    Same 'tp' aux-axis sharding as df_j."""
+    from ..parallel.mesh import shard_axis
+    j3c = shard_axis(df["j3c"], "tp", 2)
+    b = jnp.einsum("ikp,pq->ikq", j3c, df["v_inv"])
+    return jnp.einsum("ikq,...kl,jlq->...ij", b, dm, j3c)

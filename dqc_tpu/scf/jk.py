@@ -87,7 +87,8 @@ def _quartet_blocks(fac_p: HermiteFactor, fac_q: HermiteFactor,
         for G in range(nh2):
             SEL[IM[H, G], H, G] = sign[G]
     # ket-side fold (tiny): (nq, l, t, H*c)
-    W = jnp.einsum("tHG,qlcG->qltHc", jnp.asarray(SEL), fac_q.H)
+    W = jnp.einsum("tHG,qlcG->qltHc",
+                   jnp.asarray(SEL, dtype=fac_q.H.dtype), fac_q.H)
 
     def body(args):
         Hb, pb, Pb = args["H"], args["p"], args["P"]
@@ -120,15 +121,17 @@ def _combo_jk(nao: int, ip, iq, same_group: bool, fac_p, fac_q, dmt, dmk,
     integers per class combo) embedded ~400 MB of constants into the XLA
     module and OOM-killed the remote TPU compiler."""
     ns = dmk.shape[0]
+    dt = dmt.dtype   # dtype-polymorphic: f32 warm builds reuse this code
     sa, sb = ip["sa"], ip["sb"]
     sc, sd = iq["sa"], iq["sb"]
     np1, np2 = len(ip["row0"]), len(iq["row0"])
     blk = _quartet_blocks(fac_p, fac_q, sa, sb, sc, sd, block)
-    w = jnp.asarray(ip["w"])[:, None] * jnp.asarray(iq["w"])[None, :]
+    w = (jnp.asarray(ip["w"], dtype=dt)[:, None]
+         * jnp.asarray(iq["w"], dtype=dt)[None, :])
     if same_group:
         # in-graph masks (iota comparisons), not host constants
-        w = (w * jnp.triu(jnp.ones((np1, np2)))
-             * jnp.where(jnp.eye(np1, dtype=bool), 0.5, 1.0))
+        w = (w * jnp.triu(jnp.ones((np1, np2), dtype=dt))
+             * jnp.where(jnp.eye(np1, dtype=bool), 0.5, 1.0).astype(dt))
     blk = blk * w[:, None, None, :, None, None]
 
     # index grids (host, small: np*s each)
@@ -141,7 +144,7 @@ def _combo_jk(nao: int, ip, iq, same_group: bool, fac_p, fac_q, dmt, dmk,
 
     Jadd = Kadd = None
     if want_j:
-        Jadd = jnp.zeros((nao * nao,), dtype=jnp.float64)
+        Jadd = jnp.zeros((nao * nao,), dtype=dt)
         dq = dmt[jnp.asarray(rc)[:, :, None, None],
                  jnp.asarray(rd)[:, None, None, :]][:, :, 0, :]
         A = jnp.einsum("pabqcd,qcd->pab", blk, dq)
@@ -154,7 +157,7 @@ def _combo_jk(nao: int, ip, iq, same_group: bool, fac_p, fac_q, dmt, dmk,
         Jadd = Jadd.at[jnp.asarray(idx_cd)].add(B.ravel())
 
     if want_k:
-        Kadd = jnp.zeros((ns, nao, nao), dtype=jnp.float64)
+        Kadd = jnp.zeros((ns, nao, nao), dtype=dt)
 
         # gathered dm blocks for the 4 pairings, per spin; flat
         # row/col gathers keep index constants 1-D
@@ -168,7 +171,7 @@ def _combo_jk(nao: int, ip, iq, same_group: bool, fac_p, fac_q, dmt, dmk,
                             (P_bc, rbf, rcf), (P_bd, rbf, rdf)):
             n2s = P.shape[3] * P.shape[4]
             P2 = P.reshape(ns, -1, n2s)
-            tmp = jnp.zeros((ns, nao, n2s)).at[:, r1f].add(P2)
+            tmp = jnp.zeros((ns, nao, n2s), dtype=dt).at[:, r1f].add(P2)
             Kadd = Kadd.at[:, :, r2f].add(tmp)
     return Jadd, Kadd
 
@@ -199,8 +202,8 @@ def jk_matrices(meta: BasisMeta, jk_meta, facs: List[HermiteFactor], dm,
     dmk = dm if pol else dm[None]
     ns = dmk.shape[0]
 
-    Jflat = jnp.zeros((nao * nao,), dtype=jnp.float64)
-    K = jnp.zeros((ns, nao, nao), dtype=jnp.float64)
+    Jflat = jnp.zeros((nao * nao,), dtype=dmt.dtype)
+    K = jnp.zeros((ns, nao, nao), dtype=dmt.dtype)
 
     ng = len(jk_meta)
     for gi in range(ng):
@@ -246,8 +249,8 @@ def host_jk_builder(meta: BasisMeta, jk_meta, want_j: bool, want_k: bool,
         dmt = dm.sum(axis=0) if pol else dm
         dmk = dm if pol else dm[None]
         ns = dmk.shape[0]
-        Jflat = jnp.zeros((nao * nao,), dtype=jnp.float64)
-        K = jnp.zeros((ns, nao, nao), dtype=jnp.float64)
+        Jflat = jnp.zeros((nao * nao,), dtype=dmt.dtype)
+        K = jnp.zeros((ns, nao, nao), dtype=dmt.dtype)
         for (gi, gj) in combos:
             Jadd, Kadd = jits[(gi, gj)](facs[gi], facs[gj], dmt, dmk)
             if Jadd is not None:
