@@ -2,116 +2,75 @@
 
 This replaces the Boys evaluation buried inside libcint's C drivers in the
 reference (/root/reference/dqc/hamilton/intor/molintor.py calls libcint which
-computes it internally). TPU-native design notes (measured on v5e, where
-f64 elementwise/transcendental ops are emulated at ~1-2 Gop/s and dominate
-the streaming J/K build):
-  - tabulated branch for T <= 700: Taylor expansion around sqrt-spaced grid
-    points T_i = (i h)^2,
-        F_m(T) = sum_k F_{m+k}(T_i) (T_i - T)^k / k!
-    One small-table row gather + NTAYLOR fused multiply-adds, *no erf and
-    no exp*. The Taylor terms are bounded by F_m (T_i - T)^k ((2m+1)/2T)^k
-    -ish, and sqrt spacing keeps |T_i - T| (2m+1)/(2T) small uniformly:
-    relative error ~1e-13 for m <= 12 at h = 0.04 (h = 0.02 for higher m).
-  - pure-power branch for T > 700: exp(-700) < 1e-304 underflows f64, so
-    F_0 = sqrt(pi/T)/2 and F_{m+1} = (2m+1)/(2T) F_m are *exact* — a
-    rsqrt and m multiplies, no transcendentals at all.
-  - no data-dependent control flow: both branches trace to straight-line
-    XLA code combined with jnp.where.
+computes it internally). TPU-native design notes (measured on v5e):
+  - two static branches: nested power series at m = mmax + downward
+    recursion for T <= 27, closed-form erf F_0 + upward recursion beyond.
+  - everything is a FULLY UNROLLED elementwise FMA/multiply chain. This is
+    the decisive TPU property: a 90-step unrolled chain fuses into one VPU
+    kernel and runs at memory speed, while the same series as a
+    `lax.fori_loop` serializes (~7x slower) and a gathered-table Taylor
+    variant pays ~14 ns/row for the gather (~10-30x slower). Divisions by
+    loop-constant odd integers are written as multiplies by Python-float
+    reciprocals so XLA constant-folds them.
+  - both branches are computed for every element and combined with
+    jnp.where — no data-dependent control flow; erf/exp fuse to ~nothing.
+  - `boys_list` returns [F_0..F_mmax] as separate arrays so consumers
+    (the Hermite-R recursion) never materialize a small-minor-dimension
+    (..., mmax+1) array, which hits a pathological vreg layout on TPU.
   - derivatives to arbitrary order via custom_jvp using dF_m/dT = -F_{m+1};
-    the rule recursively calls `boys` so higher-order AD works.
+    the rule recursively calls `boys_list` so higher-order AD works.
+
+Series: F_m(T) = e^{-T} sum_k (2T)^k (2m-1)!!/(2m+2k+1)!! — all terms
+positive (no cancellation); NTERMS=90 converges to f64 for T <= 27.
+Downward F_{m-1} = (2T F_m + e^{-T})/(2m-1) is unconditionally stable;
+upward F_{m+1} = ((2m+1) F_m - e^{-T})/(2T) is stable for T > m.
 """
 from __future__ import annotations
 
 from functools import partial
-from math import factorial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.scipy.special import erf
 
-T_MAX_TABLE = 700.0   # exp(-T) underflows f64 beyond this: power branch exact
-NTAYLOR = 8
-
-_TABLES: dict = {}
-
-
-def _grid_h(mmax: int) -> float:
-    # Taylor term ratio ~ |dT| (2m+1)/(2T) with |dT| <= h sqrt(T): halve the
-    # spacing for high m so the mmax=20 stress tests stay at ~1e-12.
-    return 0.04 if mmax <= 12 else 0.02
-
-
-def _reference_boys_numpy(T: np.ndarray, mmax: int) -> np.ndarray:
-    """Accurate f64 Boys values on the host (table construction only) via
-    the regularized lower incomplete gamma: F_m(T) = g(m+1/2) P(m+1/2, T)
-    / (2 T^(m+1/2)); same oracle the unit tests use."""
-    from scipy.special import gamma, gammainc
-    T = np.asarray(T, dtype=np.float64)
-    out = np.empty(T.shape + (mmax + 1,))
-    Tsafe = np.where(T > 0, T, 1.0)
-    for m in range(mmax + 1):
-        fm = gamma(m + 0.5) * gammainc(m + 0.5, Tsafe) \
-            / (2.0 * Tsafe ** (m + 0.5))
-        out[..., m] = np.where(T > 0, fm, 1.0 / (2 * m + 1))
-    return out
-
-
-def _get_table(mmax: int) -> np.ndarray:
-    """(ngrid, mmax + NTAYLOR) table of F_m(T_i), T_i = (i h)^2."""
-    tab = _TABLES.get(mmax)
-    if tab is None:
-        h = _grid_h(mmax)
-        n = int(np.ceil(np.sqrt(T_MAX_TABLE) / h)) + 1
-        ts = (np.arange(n) * h) ** 2
-        tab = _reference_boys_numpy(ts, mmax + NTAYLOR - 1)
-        _TABLES[mmax] = tab
-    return tab
+T_SWITCH = 27.0
+NTERMS = 90
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(1,))
 def boys_list(T, mmax: int):
-    """Boys functions as a list [F_0, ..., F_mmax], each of T's shape.
-
-    This is the layout-friendly core: the gathered table rows live on the
-    *leading* axis ((mmax+NTAYLOR,) + T.shape) so every per-m Horner step
-    is a contiguous elementwise op. On TPU, arrays with a small minor
-    dimension (e.g. (N, 8)) hit pathological vreg layouts: the
-    (N,8)-einsum Taylor ran at ~0.6 Gflop/s while the same math as Horner
-    over leading-axis rows is ~50x faster (measured)."""
+    """Boys functions as a list [F_0, ..., F_mmax], each of T's shape."""
     T = jnp.asarray(T)
-    tabT = jnp.asarray(_get_table(mmax).T.copy(), dtype=T.dtype)
-    h = _grid_h(mmax)
-    ngrid = tabT.shape[1]
 
-    # table branch: sqrt-spaced nearest node + Taylor in (T - T_i)
-    sqT = jnp.sqrt(T)
-    idx = jnp.clip(jnp.round(sqT * (1.0 / h)).astype(jnp.int32), 0, ngrid - 1)
-    ti = idx.astype(T.dtype) * h
-    dT = ti * ti - T                   # Taylor variable (T_i - T)
-    rows = jnp.take(tabT, idx, axis=1)  # (mmax+NTAYLOR,) + T.shape
+    # series branch (T <= T_SWITCH), nested/Horner form, unrolled
+    t_s = jnp.minimum(T, T_SWITCH)
+    x = 2.0 * t_s
+    exp_s = jnp.exp(-t_s)
+    s = jnp.ones_like(t_s)
+    for k in range(NTERMS, 0, -1):
+        s = 1.0 + x * s * (1.0 / (2 * mmax + 2 * k + 1))
+    f_small = [s * exp_s * (1.0 / (2 * mmax + 1))]   # F_mmax first
+    for mm in range(mmax, 0, -1):
+        f_small.append((x * f_small[-1] + exp_s) * (1.0 / (2 * mm - 1)))
+    f_small = f_small[::-1]                          # [F_0..F_mmax]
 
-    # power branch (T > 700): exp(-T) == 0 in f64, closed form is exact
-    t_large = jnp.maximum(T, T_MAX_TABLE)
-    inv2T = 0.5 / t_large
-    f_large = jnp.sqrt(jnp.pi * inv2T * 0.5)
+    # asymptotic branch (T > T_SWITCH): erf closed form + upward recursion
+    t_l = jnp.maximum(T, T_SWITCH)
+    sq = jnp.sqrt(t_l)
+    exp_l = jnp.exp(-t_l)
+    inv2T = 0.5 / t_l
+    f_large = [0.5 * jnp.sqrt(jnp.pi) * erf(sq) / sq]
+    for mm in range(mmax):
+        f_large.append(((2 * mm + 1) * f_large[-1] - exp_l) * inv2T)
 
-    is_small = T < T_MAX_TABLE
-    out = []
-    for m in range(mmax + 1):
-        acc = rows[m + NTAYLOR - 1] * (1.0 / factorial(NTAYLOR - 1))
-        for k in range(NTAYLOR - 2, -1, -1):
-            acc = acc * dT + rows[m + k] * (1.0 / factorial(k))
-        out.append(jnp.where(is_small, acc, f_large))
-        if m < mmax:
-            f_large = (2 * m + 1) * inv2T * f_large
-    return out
+    is_small = T < T_SWITCH
+    return [jnp.where(is_small, a, b) for a, b in zip(f_small, f_large)]
 
 
 @boys_list.defjvp
 def _boys_list_jvp(mmax, primals, tangents):
     # dF_m/dT = -F_{m+1}, recursively through boys_list so higher-order AD
-    # stays exact (AD through the truncated Taylor would lose one order of
-    # accuracy per derivative).
+    # stays exact.
     (T,), (T_dot,) = primals, tangents
     f = boys_list(T, mmax + 1)
     return list(f[:-1]), [-f[m + 1] * T_dot for m in range(mmax + 1)]

@@ -360,49 +360,29 @@ class SCF_QCCalc:
         Returns (dm, j_exact, k_exact) at the best outer iterate so callers
         can evaluate the energy without another quartet-stream build."""
         from ..utils.logger import log
-        import jax.tree_util as jtu
         opts = self.opts
         f = f0
-        # f32 first outer: the RI solution's exact-map error (~1e-5) is far
-        # above f32 quartet noise (~1e-6), so the first correction can be
-        # built at native-MXU f32 speed; later outers (and anything that
-        # can be *returned*) use f64. MGGAs keep all-f64 (steep-exponent
-        # dynamic range), matching the mixed-precision policy elsewhere.
-        f32_warm = (opts.mixed
-                    and getattr(getattr(self.engine, "xc", None),
-                                "family", 1) <= 2)
-        facs32 = (jtu.tree_map(
-            lambda x: x.astype(jnp.float32)
-            if getattr(x, "dtype", None) == jnp.float64 else x,
-            theta["jk_facs"]) if f32_warm else None)
+        # NOTE: an f32 first outer was tried and produces garbage: the
+        # quartet stream's (-2p)^n / prefactor dynamic range exceeds f32
+        # for steep exponents (same reason the f32 warmup phase uses RI,
+        # see _warm_df_setup). All exact builds stay f64.
         best = (np.inf, None, None, None)   # (err, dm, j_ex, k_ex)
         for outer in range(8):
             dm = jnp.asarray(host_dm(f), dtype=jnp.float64)
-            use_f32 = outer == 0 and facs32 is not None
-            if use_f32:
-                j_ex, k_ex = jit_jk(dm.astype(jnp.float32),
-                                    {"jk_facs": facs32})
-                j_ex = j_ex.astype(jnp.float64)
-                k_ex = k_ex.astype(jnp.float64) if k_ex is not None else None
-            else:
-                j_ex, k_ex = jit_jk(dm, theta)
+            j_ex, k_ex = jit_jk(dm, theta)
             f_new, e_new = jit_rest(dm, j_ex, k_ex, theta)
             errnorm = float(np.abs(np.asarray(e_new)).max())
-            log(f"host-DIIS[dual] outer={outer} exact-err={errnorm:.3e}"
-                + (" (f32)" if use_f32 else ""))
+            log(f"host-DIIS[dual] outer={outer} exact-err={errnorm:.3e}")
             f = np.asarray(f_new, dtype=np.float64)
             # stagnation exit: each outer cycle costs one exact J/K build;
-            # stop as soon as the exact-map error stops halving (the
+            # stop as soon as the exact-map error stops improving 4x (the
             # achievable floor — set by DIIS conditioning at ~1e-7-level
-            # residuals — is far below the <=1 uHa energy target already).
-            # An f32 outer never terminates the loop or becomes the
-            # returned state: its J/K carry ~1e-6 noise.
-            if not use_f32:
-                stalled = errnorm > 0.25 * best[0]
-                if errnorm < best[0]:
-                    best = (errnorm, dm, j_ex, k_ex)
-                if errnorm < opts.tol or stalled:
-                    return best[1], best[2], best[3]
+            # residuals — is far below the <=1 uHa energy target already)
+            stalled = errnorm > 0.25 * best[0]
+            if errnorm < best[0]:
+                best = (errnorm, dm, j_ex, k_ex)
+            if errnorm < opts.tol or stalled:
+                return best[1], best[2], best[3]
             j_ri, k_ri = jit_jk(dm, theta_ri)
             dj = j_ex - j_ri
             dk = (k_ex - k_ri) if k_ex is not None else None
