@@ -126,7 +126,9 @@ def coulomb_contract(bra: HermiteFactor, ket: HermiteFactor, block: int = 32):
         p1 = pb[:, :, None, None]
         p2 = ket.p[None, None, :, :]
         theta = p1 * p2 / (p1 + p2)
-        PQ = Pb[:, :, None, None, :] - ket.P[None, None, :, :, :]
+        # per-component PQ: no (..., 3) minor-dim array (slow TPU layout)
+        PQ = tuple(Pb[:, :, None, None, d] - ket.P[None, None, :, :, d]
+                   for d in range(3))
         pref = TWO_PI_POW_2_5 / (p1 * p2 * jnp.sqrt(p1 + p2))
         Rs = hermite_R_stacked(Ltot, theta, PQ, scale=pref)  # (B,K1,Q,K2,nht)
         T1 = jnp.einsum("bkqlt,qltHc->bkqHc", Rs, W)

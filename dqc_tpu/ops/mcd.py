@@ -71,9 +71,18 @@ def hermite_coulomb_R(L: int, p, PC, scale=None):
     `scale` (optional, broadcastable to p): multiplies every R value; folded
     into the Boys base here because scaling the final stacked (..., nh)
     array hits the slow small-minor-dim layout path on TPU.
+
+    PC may be an (..., 3) array or a tuple (X, Y, Z) of component arrays —
+    hot callers pass the tuple so no (..., 3) minor-dimension array is ever
+    materialized (minor-dim-3 reduces/slices hit a pathological vreg
+    layout on TPU).
     """
     from .boys import boys_list
-    T = p * jnp.sum(PC * PC, axis=-1)
+    if isinstance(PC, (tuple, list)):
+        X, Y, Z = PC
+    else:
+        X, Y, Z = PC[..., 0], PC[..., 1], PC[..., 2]
+    T = p * (X * X + Y * Y + Z * Z)
     base = boys_list(T, L)                 # list of L+1 arrays, T's shape
     m2p = -2.0 * p
     pw = jnp.ones_like(p) if scale is None else scale
@@ -81,7 +90,6 @@ def hermite_coulomb_R(L: int, p, PC, scale=None):
         base[n] = base[n] * pw
         if n < L:
             pw = pw * m2p
-    X, Y, Z = PC[..., 0], PC[..., 1], PC[..., 2]
 
     memo: Dict[Tuple[int, int, int, int], object] = {}
 

@@ -95,7 +95,10 @@ def _quartet_blocks(fac_p: HermiteFactor, fac_q: HermiteFactor,
         p1 = pb[:, :, None, None]
         p2 = fac_q.p[None, None, :, :]
         theta = p1 * p2 / (p1 + p2)
-        PQ = Pb[:, :, None, None, :] - fac_q.P[None, None, :, :, :]
+        # per-component PQ (never materialize a (..., 3) array: minor-dim-3
+        # layouts are pathological on TPU)
+        PQ = tuple(Pb[:, :, None, None, d] - fac_q.P[None, None, :, :, d]
+                   for d in range(3))
         pref = TWO_PI_POW_2_5 / (p1 * p2 * jnp.sqrt(p1 + p2))
         Rs = hermite_R_stacked(Ltot, theta, PQ, scale=pref)
         T1 = jnp.einsum("bkqlt,qltHc->bkqHc", Rs, W)

@@ -122,7 +122,9 @@ class Mol:
                        list(map(float, b.coeffs)))
                       for ab in self.atombases for b in ab.bases])
         h = hashlib.sha256(pos + zs + shells.encode()).hexdigest()[:16]
-        return f"mol-{h}-grid{self.grid_level}-q{self.charge}-s{self.spin}"
+        # v2: ao_grad grid tables stored as (3, ng, nao) — layout change
+        # invalidates v1 caches
+        return f"mol2-{h}-grid{self.grid_level}-q{self.charge}-s{self.spin}"
 
     # --- occupations -----------------------------------------------------
     def get_orb_weights(self, polarized: Optional[bool] = None):

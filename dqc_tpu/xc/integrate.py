@@ -56,29 +56,48 @@ def setup_grid_theta(meta, params, grid, family: int = 1):
            "dvol": shard_grid_axis(dvol), "family": family}
     out["ao"] = shard_grid_axis(tabs["ao"])
     if deriv >= 1:
-        out["ao_grad"] = shard_grid_axis(tabs["ao_grad"])
+        # store as (3, ng, nao): a minor-dimension-3 axis hits a
+        # pathological vreg layout on TPU in every downstream contraction
+        out["ao_grad"] = shard_grid_axis(
+            jnp.moveaxis(tabs["ao_grad"], 1, 0), axis=1)
     if deriv >= 2:
         out["ao_lapl"] = shard_grid_axis(tabs["ao_lapl"])
     return out
 
 
 def density_from_tables(tabs, dm, family: int, polarized: bool):
-    """Densities at grid points from AO tables + dm."""
+    """Densities at grid points from AO tables + dm.
+
+    Accepts ao_grad in either (3, ng, nao) (preferred TPU layout, built by
+    setup_grid_theta) or (ng, 3, nao) (PBC/eval_ao raw layout); the 'grad'
+    output is always (3, ng) — leading component axis."""
     deriv = _deriv_of_family(family)
     ao = tabs["ao"]                                      # (ng,nao)
+    ag = tabs.get("ao_grad")
+    lead3 = ag is not None and ag.ndim == 3 and ag.shape[0] == 3 \
+        and ag.shape[1] == ao.shape[0]
+
+    def grad_of(dmi):
+        if lead3:
+            gb = jnp.einsum("dgi,ij->dgj", ag, dmi)
+            gdot = 2.0 * jnp.einsum("dgi,gi->dg", gb, ao)
+        else:
+            gb = jnp.einsum("gdi,ij->gdj", ag, dmi)
+            gdot = 2.0 * jnp.einsum("gdi,gi->dg", gb, ao)
+        return gb, gdot
 
     def dens_of(dmi):
         b = ao @ dmi                                     # (ng,nao)
         rho = jnp.einsum("gi,gi->g", b, ao)
         out = {"rho": rho}
         if deriv >= 1:
-            gb = jnp.einsum("gdi,ij->gdj", tabs["ao_grad"], dmi)
-            out["grad"] = 2.0 * jnp.einsum("gdi,gi->gd", gb, ao)
+            out["grad"] = grad_of(dmi)[1]
         if deriv >= 2:
             lap_b = tabs["ao_lapl"] @ dmi
             t1 = jnp.einsum("gi,gi->g", lap_b, ao)
-            gb = jnp.einsum("gdi,ij->gdj", tabs["ao_grad"], dmi)
-            gg = jnp.einsum("gdi,gdi->g", gb, tabs["ao_grad"])
+            gb, _ = grad_of(dmi)
+            gg = (jnp.einsum("dgi,dgi->g", gb, ag) if lead3
+                  else jnp.einsum("gdi,gdi->g", gb, ag))
             out["lapl"] = 2.0 * t1 + 2.0 * gg
             out["tau"] = 0.5 * gg
         return out
@@ -122,10 +141,11 @@ def _edens_at(xc, dens, polarized: bool, xcparams=None):
         mask = (du["rho"] + dd["rho"]) > _dens_threshold(du["rho"].dtype)
         kw = {}
         if fam >= 2:
-            kw["sigma_uu"] = _screen(mask, jnp.sum(du["grad"] ** 2, axis=-1))
+            # grad layout: (3, ng) — component axis leading
+            kw["sigma_uu"] = _screen(mask, jnp.sum(du["grad"] ** 2, axis=0))
             kw["sigma_ud"] = _screen(
-                mask, jnp.sum(du["grad"] * dd["grad"], axis=-1))
-            kw["sigma_dd"] = _screen(mask, jnp.sum(dd["grad"] ** 2, axis=-1))
+                mask, jnp.sum(du["grad"] * dd["grad"], axis=0))
+            kw["sigma_dd"] = _screen(mask, jnp.sum(dd["grad"] ** 2, axis=0))
         if fam >= 4:
             kw.update(lapl_u=_screen(mask, du["lapl"]),
                       lapl_d=_screen(mask, dd["lapl"]),
@@ -141,7 +161,7 @@ def _edens_at(xc, dens, polarized: bool, xcparams=None):
     mask = dens["rho"] > _dens_threshold(dens["rho"].dtype)
     kw = {}
     if fam >= 2:
-        kw["sigma"] = _screen(mask, jnp.sum(dens["grad"] ** 2, axis=-1))
+        kw["sigma"] = _screen(mask, jnp.sum(dens["grad"] ** 2, axis=0))
     if fam >= 4:
         kw.update(lapl=_screen(mask, dens["lapl"]),
                   tau=_screen(mask, dens["tau"]))
@@ -185,9 +205,24 @@ def exc_energy(xc, dm, grid_theta, polarized: bool, xcparams=None,
         # remat: the vxc backward recomputes the pointwise XC math instead
         # of storing every (ng, nao) intermediate
         return _jax.checkpoint(body)({k: grid_theta[k] for k in tab_keys})
+    # chunked path maps over the leading (grid) axis: the (3, ng, nao)
+    # ao_grad layout must be chunk-axis-first here, so swap for the map and
+    # back per block (rare: engages only beyond XC_CHUNK_ELEMS points)
+    tabs_in = {}
+    for k in tab_keys:
+        v = grid_theta[k]
+        if k == "ao_grad" and v.shape[0] == 3 and v.shape[1] == ng:
+            v = jnp.moveaxis(v, 0, 1)
+        tabs_in[k] = v
+
+    def body_chunk(tabs):
+        tabs = dict(tabs)
+        if "ao_grad" in tabs:
+            tabs["ao_grad"] = jnp.moveaxis(tabs["ao_grad"], 1, 0)
+        return body(tabs)
+
     from ..ops.chunks import map_reduce_blocks
-    return map_reduce_blocks(_jax.checkpoint(body),
-                             {k: grid_theta[k] for k in tab_keys}, ng, chunk)
+    return map_reduce_blocks(_jax.checkpoint(body_chunk), tabs_in, ng, chunk)
 
 
 def vxc_matrix(xc, dm, grid_theta, polarized: bool, xcparams=None):
