@@ -56,6 +56,12 @@ class HFEngine:
             return aft_j(theta["pbcft"], dm_tot)
         if "eri" in theta:
             return jnp.einsum("ijkl,kl->ij", theta["eri"], dm_tot)
+        if "jkb0" in theta:
+            from .jk import jk_from_blocks, theta_blocks
+            bmeta, jkm = self.jk_info
+            j, _ = jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm),
+                                  dm_tot, want_j=True, want_k=False)
+            return j
         if "jk_facs" in theta:
             from .jk import jk_matrices
             bmeta, jkm = self.jk_info
@@ -73,6 +79,12 @@ class HFEngine:
                 "Exact exchange not implemented for PBC systems")
         if "eri" in theta:
             return jnp.einsum("ikjl,...kl->...ij", theta["eri"], dm)
+        if "jkb0" in theta:
+            from .jk import jk_from_blocks, theta_blocks
+            bmeta, jkm = self.jk_info
+            _, k = jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm), dm,
+                                  want_j=False, want_k=True)
+            return k
         if "jk_facs" in theta:
             from .jk import jk_matrices
             bmeta, jkm = self.jk_info
@@ -89,6 +101,13 @@ class HFEngine:
     # DIIS can compile the quartet-stream J/K and the rest as separate,
     # much smaller XLA modules (scf/qccalc._host_solve).
     def jk_parts(self, dm, theta):
+        if "jkb0" in theta:
+            # one pass over the cached quartet blocks (HBM-bandwidth
+            # bound: J and K share each block read)
+            from .jk import jk_from_blocks, theta_blocks
+            bmeta, jkm = self.jk_info
+            return jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm), dm,
+                                  want_j=True, want_k=True)
         j = self._j(theta, self.dm_tot(dm))
         k = self._k(theta, dm)
         return j, k
@@ -148,8 +167,14 @@ class KSEngine(HFEngine):
         self.xc = xc
 
     def jk_parts(self, dm, theta):
+        want_k = self.xc.exx_fraction != 0.0
+        if "jkb0" in theta:
+            from .jk import jk_from_blocks, theta_blocks
+            bmeta, jkm = self.jk_info
+            return jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm), dm,
+                                  want_j=True, want_k=want_k)
         j = self._j(theta, self.dm_tot(dm))
-        k = (self._k(theta, dm) if self.xc.exx_fraction != 0.0 else None)
+        k = (self._k(theta, dm) if want_k else None)
         return j, k
 
     def fock_from_parts(self, dm, j, k, theta):

@@ -111,9 +111,28 @@ def _quartet_blocks(fac_p: HermiteFactor, fac_q: HermiteFactor,
     return blk.reshape(n, sa, sb, nq, sc, sd)
 
 
-def _combo_jk(nao: int, ip, iq, same_group: bool, fac_p, fac_q, dmt, dmk,
-              want_j: bool, want_k: bool, block: int):
-    """J/K contributions of one (bra class-group, ket class-group) combo.
+def _combo_block(ip, iq, same_group: bool, fac_p, fac_q, block: int):
+    """Weighted canonical quartet block of one class-group combo:
+    (np1, sa, sb, np2, sc, sd) with the diagonal/canonical weights folded
+    in. Density-independent — this is the expensive part of a Fock build
+    and the payload the blocked-JK mode caches in theta."""
+    sa, sb = ip["sa"], ip["sb"]
+    sc, sd = iq["sa"], iq["sb"]
+    np1, np2 = len(ip["row0"]), len(iq["row0"])
+    blk = _quartet_blocks(fac_p, fac_q, sa, sb, sc, sd, block)
+    dt = blk.dtype
+    w = (jnp.asarray(ip["w"], dtype=dt)[:, None]
+         * jnp.asarray(iq["w"], dtype=dt)[None, :])
+    if same_group:
+        # in-graph masks (iota comparisons), not host constants
+        w = (w * jnp.triu(jnp.ones((np1, np2), dtype=dt))
+             * jnp.where(jnp.eye(np1, dtype=bool), 0.5, 1.0).astype(dt))
+    return blk * w[:, None, None, :, None, None]
+
+
+def _combo_contract(nao: int, ip, iq, blk, dmt, dmk,
+                    want_j: bool, want_k: bool):
+    """Density contractions of one combo's weighted quartet block.
 
     Returns (Jflat_add (nao*nao,) or None, K_add (ns,nao,nao) or None) —
     raw canonical-quartet contractions; the caller applies the
@@ -125,17 +144,10 @@ def _combo_jk(nao: int, ip, iq, same_group: bool, fac_p, fac_q, dmt, dmk,
     module and OOM-killed the remote TPU compiler."""
     ns = dmk.shape[0]
     dt = dmt.dtype   # dtype-polymorphic: f32 warm builds reuse this code
+    blk = blk.astype(dt)
     sa, sb = ip["sa"], ip["sb"]
     sc, sd = iq["sa"], iq["sb"]
     np1, np2 = len(ip["row0"]), len(iq["row0"])
-    blk = _quartet_blocks(fac_p, fac_q, sa, sb, sc, sd, block)
-    w = (jnp.asarray(ip["w"], dtype=dt)[:, None]
-         * jnp.asarray(iq["w"], dtype=dt)[None, :])
-    if same_group:
-        # in-graph masks (iota comparisons), not host constants
-        w = (w * jnp.triu(jnp.ones((np1, np2), dtype=dt))
-             * jnp.where(jnp.eye(np1, dtype=bool), 0.5, 1.0).astype(dt))
-    blk = blk * w[:, None, None, :, None, None]
 
     # index grids (host, small: np*s each)
     ra = ip["row0"][:, None] + np.arange(sa)     # (np1, sa)
@@ -177,6 +189,75 @@ def _combo_jk(nao: int, ip, iq, same_group: bool, fac_p, fac_q, dmt, dmk,
             tmp = jnp.zeros((ns, nao, n2s), dtype=dt).at[:, r1f].add(P2)
             Kadd = Kadd.at[:, :, r2f].add(tmp)
     return Jadd, Kadd
+
+
+def _combo_jk(nao: int, ip, iq, same_group: bool, fac_p, fac_q, dmt, dmk,
+              want_j: bool, want_k: bool, block: int):
+    """J/K contributions of one combo, streaming form: the quartet block
+    is assembled on the fly and contracted immediately (never stored)."""
+    blk = _combo_block(ip, iq, same_group, fac_p, fac_q, block)
+    return _combo_contract(nao, ip, iq, blk, dmt, dmk, want_j, want_k)
+
+
+def jk_combos(jk_meta):
+    """Canonical (gi, gj) combo order shared by every blocked-JK consumer."""
+    ng = len(jk_meta)
+    return [(gi, gj) for gi in range(ng) for gj in range(gi, ng)]
+
+
+def jk_blocks_nbytes(jk_meta) -> int:
+    """f64 bytes of the full weighted canonical quartet-block set — the
+    host-side sizing input for the blocked-JK mode decision."""
+    tot = 0
+    for (gi, gj) in jk_combos(jk_meta):
+        ip, iq = jk_meta[gi], jk_meta[gj]
+        tot += (len(ip["row0"]) * ip["sa"] * ip["sb"]
+                * len(iq["row0"]) * iq["sa"] * iq["sb"] * 8)
+    return tot
+
+
+def build_jk_block(meta: BasisMeta, params, jk_meta, ci: int,
+                   block: int = 16):
+    """Quartet block of combo index `ci` (one theta part = one small XLA
+    module: the fused all-combo assembly program chokes the remote TPU AOT
+    compiler, same reason host_jk_builder splits per combo)."""
+    (gi, gj) = jk_combos(jk_meta)[ci]
+    inp_p = gather_pair_inputs(meta, params, jk_meta[gi]["pc"])
+    inp_q = (inp_p if gj == gi
+             else gather_pair_inputs(meta, params, jk_meta[gj]["pc"]))
+    fac_p = hermite_factor_pair(inp_p)
+    fac_q = fac_p if gj == gi else hermite_factor_pair(inp_q)
+    return _combo_block(jk_meta[gi], jk_meta[gj], gi == gj, fac_p, fac_q,
+                        block)
+
+
+def theta_blocks(theta, jk_meta):
+    """Ordered block list from the per-combo theta entries ("jkb{i}" —
+    one theta part/disk-cache entry per combo, scf/qccalc._blocked_jk_parts)."""
+    return [theta[f"jkb{i}"] for i in range(len(jk_combos(jk_meta)))]
+
+
+def jk_from_blocks(meta: BasisMeta, jk_meta, blocks, dm,
+                   want_j: bool = True, want_k: bool = True):
+    """J and/or K from precomputed canonical quartet blocks (theta
+    "jk_blocks"): pure density contractions — MXU/HBM-bandwidth bound,
+    ~1000x cheaper than re-assembling the quartets per Fock build. Used
+    when the canonical block set fits in HBM (scf/qccalc._jk_mode)."""
+    nao = meta.nao
+    pol = dm.ndim == 3
+    dmt = dm.sum(axis=0) if pol else dm
+    dmk = dm if pol else dm[None]
+    ns = dmk.shape[0]
+    Jflat = jnp.zeros((nao * nao,), dtype=dmt.dtype)
+    K = jnp.zeros((ns, nao, nao), dtype=dmt.dtype)
+    for ci, (gi, gj) in enumerate(jk_combos(jk_meta)):
+        Jadd, Kadd = _combo_contract(nao, jk_meta[gi], jk_meta[gj],
+                                     blocks[ci], dmt, dmk, want_j, want_k)
+        if Jadd is not None:
+            Jflat = Jflat + Jadd
+        if Kadd is not None:
+            K = K + Kadd
+    return _jk_symmetrize(Jflat, K, nao, pol, want_j, want_k)
 
 
 def _jk_symmetrize(Jflat, K, nao, pol, want_j, want_k):

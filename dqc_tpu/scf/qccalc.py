@@ -10,6 +10,7 @@ xitorch implicit-diff solvers threaded through object state.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -608,14 +609,49 @@ def _screened(mol):
     return screened_pair_classes(mol.meta, mol.params)
 
 
-# dense nao^4 ERI above this byte count switches to the streaming
-# direct-SCF J/K path (never materializes the tensor)
+# dense nao^4 ERI above this byte count switches away from the
+# materialized-tensor path
 DENSE_ERI_BYTES_LIMIT = 600 * 1024 ** 2
+
+# canonical quartet-block cache (s8-weighted, ~nao^4 rather than the dense
+# 8x-redundant nao^4 tensor) kept in HBM up to this size: each Fock build
+# is then pure density contractions (MXU/HBM-bound, ~ms) instead of a
+# full quartet re-assembly (~15 s at def2-SVP benzene scale). Beyond it,
+# the streaming direct-SCF path re-assembles per build.
+BLOCKED_JK_BYTES_LIMIT = int(os.environ.get(
+    "DQC_TPU_BLOCKED_JK_BYTES", 2 * 1024 ** 3))
 
 
 def _jk_mode(mol):
     return ("stream" if mol.meta.nao ** 4 * 8 > DENSE_ERI_BYTES_LIMIT
             else "dense")
+
+
+def _jk_setup(mol, scr):
+    """(mode, jk_info) for the exact-exchange paths: 'dense' (materialized
+    ERI), 'blocked' (canonical quartet blocks cached in theta), or
+    'stream' (re-assemble per Fock build; unbounded size)."""
+    mode = _jk_mode(mol)
+    if mode != "stream":
+        return mode, None
+    from .jk import build_jk_meta, jk_blocks_nbytes
+    jk_info = (mol.meta, build_jk_meta(mol.meta, scr))
+    if jk_blocks_nbytes(jk_info[1]) <= BLOCKED_JK_BYTES_LIMIT:
+        return "blocked", jk_info
+    return "stream", jk_info
+
+
+def _blocked_jk_parts(mol, jk_info):
+    """One theta part per class-group combo ("jkb{i}"): each quartet-block
+    assembly is its own small XLA module (the fused program chokes the
+    remote TPU AOT compiler) and its own disk-cache entry."""
+    from .jk import build_jk_block, jk_combos
+    parts = {}
+    for ci in range(len(jk_combos(jk_info[1]))):
+        parts[f"jkb{ci}"] = (lambda params, ci=ci: {
+            f"jkb{ci}": build_jk_block(mol.meta, params["basis"],
+                                       jk_info[1], ci)})
+    return parts
 
 
 def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
@@ -632,13 +668,8 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
     occ = _occ_array(mol, polarized)
     dfset = _df_setup(mol)
     scr = _screened(mol) if dfset is None else None
-    mode = _jk_mode(mol) if dfset is None else "df"
-    jk_info = None
-    warm_df = None
-    if mode == "stream":
-        from .jk import build_jk_meta
-        jk_info = (mol.meta, build_jk_meta(mol.meta, scr))
-        warm_df = _warm_df_setup(mol)
+    mode, jk_info = (_jk_setup(mol, scr) if dfset is None else ("df", None))
+    warm_df = _warm_df_setup(mol) if mode == "stream" else None
     engine = HFEngine(polarized=polarized, jk_info=jk_info)
 
     def part_core(params):
@@ -650,6 +681,8 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
         return theta
 
     parts = {"core": part_core}
+    if mode == "blocked":
+        parts.update(_blocked_jk_parts(mol, jk_info))
     if mode == "stream":
         from .jk import build_jk_factors
         parts["jk"] = lambda params: {
@@ -754,13 +787,8 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
     grid = mol.setup_grid()
     dfset = _df_setup(mol)
     scr = _screened(mol) if dfset is None else None
-    mode = _jk_mode(mol) if dfset is None else "df"
-    jk_info = None
-    warm_df = None
-    if mode == "stream":
-        from .jk import build_jk_meta
-        jk_info = (mol.meta, build_jk_meta(mol.meta, scr))
-        warm_df = _warm_df_setup(mol)
+    mode, jk_info = (_jk_setup(mol, scr) if dfset is None else ("df", None))
+    warm_df = _warm_df_setup(mol) if mode == "stream" else None
     engine = KSEngine(xc, polarized=polarized, jk_info=jk_info)
 
     def part_core(params):
@@ -773,6 +801,8 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
         return theta
 
     parts = {"core": part_core}
+    if mode == "blocked":
+        parts.update(_blocked_jk_parts(mol, jk_info))
     if mode == "stream":
         from .jk import build_jk_factors
         parts["jk"] = lambda params: {

@@ -109,3 +109,33 @@ def test_scf_energy_grad_efield():
     dz = jnp.zeros(3).at[2].set(h)
     fd = (e_of(ef0 + dz) - e_of(ef0 - dz)) / (2 * h)
     assert abs(float(fd) - float(g[2])) < 1e-7
+
+
+def test_scf_force_blocked_jk_mode():
+    """Implicit-diff force with the blocked-JK execution mode (quartet
+    blocks cached in theta): AD flows through the block assembly in the
+    theta build instead of the in-loop streaming quartets. FD-checked."""
+    from dqc_tpu.scf import qccalc as qmod
+    old = qmod.DENSE_ERI_BYTES_LIMIT
+    try:
+        qmod.DENSE_ERI_BYTES_LIMIT = 0   # dense off -> blocked wins
+        mol = dqc_tpu.Mol("H 0 0 0; H 1.4 0 0", basis="3-21g")
+        qc = dqc_tpu.HF(mol)
+        assert qmod._jk_setup(mol, None)[0] == "blocked"
+        p0 = qc._all_params()
+
+        @jax.jit
+        def e_of_pos(pos):
+            p = dict(p0)
+            p["basis"] = dict(p0["basis"])
+            p["basis"]["atompos"] = pos
+            return qc.energy_fn(p)
+
+        pos0 = p0["basis"]["atompos"]
+        g = jax.jit(jax.grad(e_of_pos))(pos0)
+        h = 1e-4
+        fd = (e_of_pos(pos0.at[1, 0].add(h))
+              - e_of_pos(pos0.at[1, 0].add(-h))) / (2 * h)
+        assert abs(float(g[1, 0]) - float(fd)) < 1e-7
+    finally:
+        qmod.DENSE_ERI_BYTES_LIMIT = old

@@ -49,8 +49,10 @@ def test_host_loop_stream_split_jk_matches_dense():
                       basis="3-21g")
     e_ref = float(dqc_tpu.HF(mol).run().energy())
     old_limit, old_nao = qmod.DENSE_ERI_BYTES_LIMIT, qmod.SCF_QCCalc.HOST_LOOP_NAO
+    old_blocked = qmod.BLOCKED_JK_BYTES_LIMIT
     try:
         qmod.DENSE_ERI_BYTES_LIMIT = 0          # force streaming quartets
+        qmod.BLOCKED_JK_BYTES_LIMIT = 0         # ... not the blocked cache
         qmod.SCF_QCCalc.HOST_LOOP_NAO = 1       # force host-driven DIIS
         mol2 = dqc_tpu.Mol(
             "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867",
@@ -58,5 +60,57 @@ def test_host_loop_stream_split_jk_matches_dense():
         e_host = float(dqc_tpu.HF(mol2).run().energy())
     finally:
         qmod.DENSE_ERI_BYTES_LIMIT = old_limit
+        qmod.BLOCKED_JK_BYTES_LIMIT = old_blocked
         qmod.SCF_QCCalc.HOST_LOOP_NAO = old_nao
     assert abs(e_ref - e_host) < 1e-9, (e_ref, e_host)
+
+
+def test_blocked_jk_matches_dense():
+    """Cached canonical quartet blocks (theta "jkb{i}") contract to the
+    same J/K as the dense ERI — restricted and spin-stacked."""
+    from dqc_tpu.scf.jk import build_jk_block, jk_combos, jk_from_blocks
+    mol = Mol("O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867",
+              basis="3-21G")
+    meta, params = mol.meta, mol.params
+    rng = np.random.RandomState(2)
+    d = rng.randn(meta.nao, meta.nao)
+    dm = jnp.asarray(d + d.T)
+    G = eri_dense(meta, params)
+    J_ref = jnp.einsum("ijkl,kl->ij", G, dm)
+    K_ref = jnp.einsum("ikjl,kl->ij", G, dm)
+    jkm = build_jk_meta(meta)
+    blocks = [build_jk_block(meta, params, jkm, ci)
+              for ci in range(len(jk_combos(jkm)))]
+    J, K = jk_from_blocks(meta, jkm, blocks, dm)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref), atol=1e-11)
+    d2 = rng.randn(2, meta.nao, meta.nao)
+    dm2 = jnp.asarray(d2 + np.swapaxes(d2, -1, -2))
+    K2_ref = jnp.einsum("ikjl,skl->sij", G, dm2)
+    _, K2 = jk_from_blocks(meta, jkm, blocks, dm2, want_j=False)
+    np.testing.assert_allclose(np.asarray(K2), np.asarray(K2_ref),
+                               atol=1e-11)
+
+
+def test_host_loop_blocked_jk_matches_dense():
+    """Host-driven DIIS in blocked-JK mode (the def2-SVP-scale execution
+    mode after the quartet-block cache landed) reproduces the dense-ERI
+    device-loop energy — KS/B3LYP so both J and hybrid K go through the
+    blocks, plus the f32 warmup phase."""
+    import dqc_tpu
+    from dqc_tpu.scf import qccalc as qmod
+    desc = "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867"
+    mol = dqc_tpu.Mol(desc, basis="3-21g", grid=2)
+    e_ref = float(dqc_tpu.KS(mol, xc="b3lyp").run().energy())
+    old_limit, old_nao = qmod.DENSE_ERI_BYTES_LIMIT, qmod.SCF_QCCalc.HOST_LOOP_NAO
+    try:
+        qmod.DENSE_ERI_BYTES_LIMIT = 0          # dense off -> blocked wins
+        qmod.SCF_QCCalc.HOST_LOOP_NAO = 1       # force host-driven DIIS
+        mol2 = dqc_tpu.Mol(desc, basis="3-21g", grid=2)
+        qc = dqc_tpu.KS(mol2, xc="b3lyp").run()
+        e_host = float(qc.energy())
+        assert any(k.startswith("jkb") for k in qc._theta), "not blocked mode"
+    finally:
+        qmod.DENSE_ERI_BYTES_LIMIT = old_limit
+        qmod.SCF_QCCalc.HOST_LOOP_NAO = old_nao
+    assert abs(e_ref - e_host) < 1e-8, (e_ref, e_host)
