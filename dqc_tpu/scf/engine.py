@@ -79,6 +79,9 @@ class HFEngine:
                 "Exact exchange not implemented for PBC systems")
         if "eri" in theta:
             return jnp.einsum("ikjl,...kl->...ij", theta["eri"], dm)
+        if "eri_k" in theta:
+            # exchange-layout dense ERI: trailing-axis matvec, no transpose
+            return jnp.einsum("ijkl,...kl->...ij", theta["eri_k"], dm)
         if "jkb0" in theta:
             from .jk import jk_from_blocks, theta_blocks
             bmeta, jkm = self.jk_info
@@ -102,12 +105,16 @@ class HFEngine:
     # much smaller XLA modules (scf/qccalc._host_solve).
     def jk_parts(self, dm, theta):
         if "jkb0" in theta:
-            # one pass over the cached quartet blocks (HBM-bandwidth
-            # bound: J and K share each block read)
             from .jk import jk_from_blocks, theta_blocks
             bmeta, jkm = self.jk_info
-            return jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm), dm,
-                                  want_j=True, want_k=True)
+            # K from the exchange-layout tensor when present (pure matvec);
+            # else one pass over the blocks (J and K share each block read)
+            want_k_blocks = "eri_k" not in theta
+            j, k = jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm), dm,
+                                  want_j=True, want_k=want_k_blocks)
+            if not want_k_blocks:
+                k = self._k(theta, dm)
+            return j, k
         j = self._j(theta, self.dm_tot(dm))
         k = self._k(theta, dm)
         return j, k
@@ -171,8 +178,12 @@ class KSEngine(HFEngine):
         if "jkb0" in theta:
             from .jk import jk_from_blocks, theta_blocks
             bmeta, jkm = self.jk_info
-            return jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm), dm,
-                                  want_j=True, want_k=want_k)
+            want_k_blocks = want_k and "eri_k" not in theta
+            j, k = jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm), dm,
+                                  want_j=True, want_k=want_k_blocks)
+            if want_k and not want_k_blocks:
+                k = self._k(theta, dm)
+            return j, k
         j = self._j(theta, self.dm_tot(dm))
         k = (self._k(theta, dm) if want_k else None)
         return j, k

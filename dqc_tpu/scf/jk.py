@@ -231,6 +231,38 @@ def build_jk_block(meta: BasisMeta, params, jk_meta, ci: int,
                         block)
 
 
+def expand_k_tensor(meta: BasisMeta, jk_meta, blocks):
+    """Exchange-layout dense ERI G_K[a,c,b,d] = (ab|cd) assembled from the
+    canonical quartet blocks, s8-symmetrized by transpose-adds.
+
+    With this layout K_s = einsum("ijkl,skl->sij", G_K, dm_s) is a pure
+    trailing-axis contraction (one MXU matvec over the flattened tensor, no
+    per-iteration transpose) — the TPU-optimal exchange build for systems
+    whose nao^4 tensor fits HBM. The scatter uses only pair-level index
+    arrays broadcast at runtime (quartet-sized index *constants* OOM the
+    remote TPU compiler, see _combo_contract)."""
+    nao = meta.nao
+    out = jnp.zeros((nao, nao, nao, nao), dtype=blocks[0].dtype)
+    for ci, (gi, gj) in enumerate(jk_combos(jk_meta)):
+        ip, iq = jk_meta[gi], jk_meta[gj]
+        sa, sb = ip["sa"], ip["sb"]
+        sc, sd = iq["sa"], iq["sb"]
+        ra = jnp.asarray(ip["row0"][:, None] + np.arange(sa))
+        rb = jnp.asarray(ip["col0"][:, None] + np.arange(sb))
+        rc = jnp.asarray(iq["row0"][:, None] + np.arange(sc))
+        rd = jnp.asarray(iq["col0"][:, None] + np.arange(sd))
+        # blk (p,a,b,q,c,d) scattered to [a, c, b, d]
+        out = out.at[ra[:, :, None, None, None, None],
+                     rc[None, None, None, :, :, None],
+                     rb[:, None, :, None, None, None],
+                     rd[None, None, None, :, None, :]].add(blocks[ci])
+    # s8 images in K layout (G-space generators mapped through [a,c,b,d]):
+    out = out + out.transpose(2, 1, 0, 3)   # a <-> b
+    out = out + out.transpose(0, 3, 2, 1)   # c <-> d
+    out = out + out.transpose(1, 0, 3, 2)   # (ab) <-> (cd)
+    return out
+
+
 def theta_blocks(theta, jk_meta):
     """Ordered block list from the per-combo theta entries ("jkb{i}" —
     one theta part/disk-cache entry per combo, scf/qccalc._blocked_jk_parts)."""

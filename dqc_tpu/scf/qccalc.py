@@ -466,7 +466,9 @@ class SCF_QCCalc:
         XLA module, which the remote TPU AOT compiler handles far better
         than the fused program — optionally serving every part's tensors
         from the on-disk cache (reference Cache parity, cache.py)."""
+        import time as _time
         import jax.tree_util as jtu
+        from ..utils.logger import log
         parts = getattr(self, "_theta_parts", None) or \
             {"all": self._build_theta}
         cache = None
@@ -475,8 +477,11 @@ class SCF_QCCalc:
             cache = Cache(cache_fname, signature=self.mol.cache_signature)
         theta = {}
         for name, fn in parts.items():
+            _t0 = _time.perf_counter()
             if cache is None:
                 theta.update(jax.jit(fn)(params))
+                log(f"theta[{name}] built in "
+                    f"{_time.perf_counter() - _t0:.1f}s")
                 continue
             shapes = jax.eval_shape(fn, params)
             flat_shapes, treedef = jtu.tree_flatten(shapes)
@@ -489,6 +494,21 @@ class SCF_QCCalc:
                 compute)
             theta.update(jtu.tree_unflatten(
                 treedef, [jnp.asarray(l) for l in leaves]))
+            log(f"theta[{name}] ready in {_time.perf_counter() - _t0:.1f}s")
+        exp = getattr(self, "_expand_k_info", None)
+        if exp is not None:
+            # derived exchange-layout ERI: recomputed from the cached
+            # blocks (cheap scatter+transposes), never disk-cached
+            from .jk import expand_k_tensor, theta_blocks
+            bmeta, jkm = exp
+            fn = getattr(self, "_expand_k_fn", None)
+            if fn is None:
+                fn = jax.jit(lambda bl: expand_k_tensor(bmeta, jkm, bl))
+                self._expand_k_fn = fn
+            _t0 = _time.perf_counter()
+            theta["eri_k"] = fn(theta_blocks(theta, jkm))
+            log(f"theta[eri_k] expanded in "
+                f"{_time.perf_counter() - _t0:.1f}s")
         return theta
 
     def _all_params(self, with_fields: bool = True):
@@ -621,6 +641,18 @@ DENSE_ERI_BYTES_LIMIT = 600 * 1024 ** 2
 BLOCKED_JK_BYTES_LIMIT = int(os.environ.get(
     "DQC_TPU_BLOCKED_JK_BYTES", 2 * 1024 ** 3))
 
+# when exact exchange is needed and the nao^4 tensor fits, additionally
+# expand the blocks into the exchange-layout dense ERI (theta "eri_k"):
+# K becomes one trailing-axis MXU matvec instead of a batched-tiny-matmul
+# einsum over the 6-D blocks. Derived data — never disk-cached.
+EXPAND_K_BYTES_LIMIT = int(os.environ.get(
+    "DQC_TPU_EXPAND_K_BYTES", 2 * 1024 ** 3))
+
+
+def _expand_k_wanted(mol, mode, needs_k):
+    return (mode == "blocked" and needs_k
+            and mol.meta.nao ** 4 * 8 <= EXPAND_K_BYTES_LIMIT)
+
 
 def _jk_mode(mol):
     return ("stream" if mol.meta.nao ** 4 * 8 > DENSE_ERI_BYTES_LIMIT
@@ -693,16 +725,23 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
     if dfset is not None:
         parts["df"] = lambda params: _maybe_df(
             {}, mol, dfset, params)
+    expand_k = _expand_k_wanted(mol, mode, needs_k=True)
 
     def build_theta(params):
         theta = {}
         for fn in parts.values():
             theta.update(fn(params))
+        if expand_k:
+            from .jk import expand_k_tensor, theta_blocks
+            theta["eri_k"] = expand_k_tensor(
+                mol.meta, jk_info[1], theta_blocks(theta, jk_info[1]))
         return theta
 
     calc = SCF_QCCalc(mol, engine, build_theta=build_theta,
                       opts=opts or SCFOptions())
     calc._theta_parts = parts
+    if expand_k:
+        calc._expand_k_info = jk_info
     return calc
 
 
@@ -815,16 +854,23 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
     parts["grid"] = lambda params: {
         "grid": setup_grid_theta(mol.meta, params["basis"], grid,
                                  family=xc.family)}
+    expand_k = _expand_k_wanted(mol, mode, needs_k=xc.exx_fraction != 0.0)
 
     def build_theta(params):
         theta = {}
         for fn in parts.values():
             theta.update(fn(params))
+        if expand_k:
+            from .jk import expand_k_tensor, theta_blocks
+            theta["eri_k"] = expand_k_tensor(
+                mol.meta, jk_info[1], theta_blocks(theta, jk_info[1]))
         return theta
 
     calc = SCF_QCCalc(mol, engine, build_theta=build_theta,
                       opts=opts or SCFOptions())
     calc._theta_parts = parts
+    if expand_k:
+        calc._expand_k_info = jk_info
     # expose NN-XC parameters as differentiable inputs
     if isinstance(xc, CustomXC):
         calc._xc_params = {xc.key: xc.init_params}

@@ -92,6 +92,22 @@ def test_blocked_jk_matches_dense():
                                atol=1e-11)
 
 
+def test_expand_k_tensor_matches_dense():
+    """Exchange-layout dense ERI assembled from the canonical blocks equals
+    the transpose of the reference dense tensor: G_K = G.transpose(0,2,1,3),
+    so K via "ijkl,skl->sij" on G_K == the dense-path K."""
+    from dqc_tpu.scf.jk import (build_jk_block, expand_k_tensor, jk_combos)
+    mol = Mol("O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867",
+              basis="3-21G")
+    meta, params = mol.meta, mol.params
+    G = np.asarray(eri_dense(meta, params))
+    jkm = build_jk_meta(meta)
+    blocks = [build_jk_block(meta, params, jkm, ci)
+              for ci in range(len(jk_combos(jkm)))]
+    GK = np.asarray(expand_k_tensor(meta, jkm, blocks))
+    np.testing.assert_allclose(GK, G.transpose(0, 2, 1, 3), atol=1e-11)
+
+
 def test_host_loop_blocked_jk_matches_dense():
     """Host-driven DIIS in blocked-JK mode (the def2-SVP-scale execution
     mode after the quartet-block cache landed) reproduces the dense-ERI
@@ -110,6 +126,7 @@ def test_host_loop_blocked_jk_matches_dense():
         qc = dqc_tpu.KS(mol2, xc="b3lyp").run()
         e_host = float(qc.energy())
         assert any(k.startswith("jkb") for k in qc._theta), "not blocked mode"
+        assert "eri_k" in qc._theta, "exchange-layout expansion not active"
     finally:
         qmod.DENSE_ERI_BYTES_LIMIT = old_limit
         qmod.SCF_QCCalc.HOST_LOOP_NAO = old_nao
