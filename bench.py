@@ -14,8 +14,9 @@ Implementation notes:
     separate XLA modules and the theta tensors are cached on disk — the
     remote TPU AOT compiler handles the smaller modules far better, and
     reruns skip the integral build entirely.
-  - basis size is configurable: BENCH_BASIS=def2-svp (default 3-21g while
-    the dense-ERI def2-SVP memory plan lands).
+  - basis size is configurable via BENCH_BASIS; the default is def2-svp —
+    the BASELINE.json headline config (streaming direct-SCF J/K + RI warm
+    phases + dual-level exact polish in the host-driven DIIS).
 """
 import json
 import os
@@ -32,7 +33,7 @@ def main():
     import dqc_tpu as dq
     from __graft_entry__ import _benzene_mol
 
-    basis = os.environ.get("BENCH_BASIS", "3-21g")
+    basis = os.environ.get("BENCH_BASIS", "def2-svp")
     mol = _benzene_mol(basis=basis)
     if os.environ.get("BENCH_DF"):
         # RI-J/RI-K mode (the reference's own wall-clock harness is DF:

@@ -225,14 +225,103 @@ def exc_energy(xc, dm, grid_theta, polarized: bool, xcparams=None,
     return map_reduce_blocks(_jax.checkpoint(body_chunk), tabs_in, ng, chunk)
 
 
-def vxc_matrix(xc, dm, grid_theta, polarized: bool, xcparams=None):
-    """V_xc = d E_xc / d dm — one jax.grad, exact to all orders
-    (generalizes reference base_xc.py:39-125 to every family).
+def _vxc_assemble(vbar, tabs):
+    """Closed-form V_xc assembly from pointwise-potential cotangents.
 
-    Symmetrized: E_xc(dm) as written only represents the density for
-    symmetric dm (e.g. grad n = 2 sum_ij dm_ij grad(phi_i) phi_j), so the
-    raw gradient carries a spurious antisymmetric part; the derivative along
-    the symmetric subspace is the symmetrization."""
+    vbar is d(Exc)/d(density-info arrays) — the *pointwise* adjoints (vrho,
+    v_gradrho (3,ng), v_lapl, v_tau), dvol already folded in. The dm
+    derivative of each as-written density expression (density_from_tables)
+    is then a fixed pattern of AO-table contractions; assembling them
+    directly keeps the big (ng,nao) matmuls out of the AD graph (jax.grad
+    through exc_energy re-runs them in the backward + remat recompute, ~2x
+    the matmul traffic of this form). Raw (unsymmetrized) result."""
+    ao = tabs["ao"]
+    ag = tabs.get("ao_grad")   # (3, ng, nao) preferred layout
+    if ag is not None and not (ag.ndim == 3 and ag.shape[0] == 3
+                               and ag.shape[1] == ao.shape[0]):
+        ag = jnp.moveaxis(ag, 1, 0)
+    V = jnp.einsum("gi,g,gj->ij", ao, vbar["rho"], ao)
+    vg = vbar.get("grad")
+    if vg is not None:
+        # d(grad rho_d)/ddm_ij = 2 ag_dgi ao_gj (as written in
+        # density_from_tables: gdot = 2 <gb, ao>)
+        V = V + 2.0 * jnp.einsum("dgi,dg,gj->ij", ag, vg, ao)
+    vl = vbar.get("lapl")
+    if vl is not None:
+        L = tabs["ao_lapl"]
+        # lapl = 2 t1 + 2 gg, t1 = <L dm, ao>, gg = <ag dm, ag>
+        V = V + 2.0 * jnp.einsum("gi,g,gj->ij", L, vl, ao)
+        V = V + 2.0 * jnp.einsum("dgi,g,dgj->ij", ag, vl, ag)
+    vt = vbar.get("tau")
+    if vt is not None:
+        V = V + 0.5 * jnp.einsum("dgi,g,dgj->ij", ag, vt, ag)
+    return V
+
+
+def _exc_vxc_tabs(xc, dm, tabs, polarized: bool, xcparams):
+    """One-pass (E_xc partial, raw V_xc partial) over one set of tables."""
+    dens = density_from_tables(tabs, dm, xc.family, polarized)
+    w = tabs["dvol"]
+
+    def esum(d):
+        return jnp.sum(_edens_at(xc, d, polarized, xcparams) * w)
+
+    exc, vbar = jax.value_and_grad(esum)(dens)
+    if polarized:
+        V = jnp.stack([_vxc_assemble(vbar["u"], tabs),
+                       _vxc_assemble(vbar["d"], tabs)])
+    else:
+        V = _vxc_assemble(vbar, tabs)
+    return exc, V
+
+
+def exc_vxc(xc, dm, grid_theta, polarized: bool, xcparams=None):
+    """(E_xc, V_xc) with the pointwise-adjoint + closed-form assembly:
+    AD runs only through the per-point functional chain (cheap elementwise
+    arrays), never through the (ng,nao) AO-table matmuls. Chunked over the
+    grid axis beyond XC_CHUNK_ELEMS (same policy as exc_energy)."""
+    ng = grid_theta["dvol"].shape[0]
+    nao = grid_theta["ao"].shape[-1]
+    chunk = max(65536, XC_CHUNK_ELEMS // max(nao, 1))
+    tab_keys = [k for k in ("ao", "ao_grad", "ao_lapl", "dvol")
+                if k in grid_theta]
+    if ng <= chunk:
+        exc, V = _exc_vxc_tabs(xc, dm, {k: grid_theta[k] for k in tab_keys},
+                               polarized, xcparams)
+        return exc, 0.5 * (V + jnp.swapaxes(V, -1, -2))
+    tabs_in = {}
+    for k in tab_keys:
+        v = grid_theta[k]
+        if k == "ao_grad" and v.shape[0] == 3 and v.shape[1] == ng:
+            v = jnp.moveaxis(v, 0, 1)
+        tabs_in[k] = v
+
+    def body_chunk(tabs):
+        tabs = dict(tabs)
+        if "ao_grad" in tabs:
+            tabs["ao_grad"] = jnp.moveaxis(tabs["ao_grad"], 1, 0)
+        return _exc_vxc_tabs(xc, dm, tabs, polarized, xcparams)
+
+    from ..ops.chunks import map_reduce_blocks
+    exc, V = map_reduce_blocks(jax.checkpoint(body_chunk), tabs_in, ng,
+                               chunk)
+    return exc, 0.5 * (V + jnp.swapaxes(V, -1, -2))
+
+
+def vxc_matrix(xc, dm, grid_theta, polarized: bool, xcparams=None):
+    """V_xc = d E_xc / d dm, symmetrized (E_xc(dm) as written only
+    represents the density for symmetric dm — e.g. grad n = 2 sum_ij dm_ij
+    grad(phi_i) phi_j — so the raw gradient carries a spurious
+    antisymmetric part; the derivative along the symmetric subspace is the
+    symmetrization). Generalizes reference base_xc.py:39-125 to every
+    family. Computed by the closed-form assembly (exc_vxc); vxc_matrix_ad
+    is the brute-force jax.grad oracle it is tested against."""
+    return exc_vxc(xc, dm, grid_theta, polarized, xcparams)[1]
+
+
+def vxc_matrix_ad(xc, dm, grid_theta, polarized: bool, xcparams=None):
+    """Brute-force V_xc = jax.grad(exc_energy) — test oracle for exc_vxc
+    and the path of last resort for exotic density dependencies."""
     g = jax.grad(
         lambda d: exc_energy(xc, d, grid_theta, polarized, xcparams))(dm)
     return 0.5 * (g + jnp.swapaxes(g, -1, -2))
