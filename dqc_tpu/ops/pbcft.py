@@ -175,6 +175,40 @@ def aft_j(pbcft_theta, dm):
             + jnp.einsum("g,gij->ij", w * ri, Fim))
 
 
+def aft_k(theta, dm):
+    """Gamma-point exact-exchange matrix from the pair-FT tensors.
+
+    With the AFT electron-repulsion integrals
+        (ij|kl) = sum_G w_G conj(F_ij(G)) F_kl(G)
+    (same convention as aft_j; imaginary parts cancel over the symmetric
+    G set), the exchange matrix K_ij = sum_kl dm_kl (ik|jl) becomes
+
+        K = sum_G w_G ( R_G dm R_G + I_G dm I_G ),   F = R + iI
+
+    — a stack of (nao,nao) matmuls, MXU-shaped. The dropped G=0 term is
+    restored by the probe-charge Ewald (Madelung) correction
+    K += M * S dm S stored in theta["pbcft"]["madelung"] (the standard
+    exxdiv="ewald" treatment; 0 when exxdiv=None).
+
+    The reference has no PBC exact exchange at all
+    (/root/reference/dqc/hamilton/hcgto_pbc.py:183-185) — this enables
+    PBC Hartree-Fock and hybrid functionals in periodic cells.
+    dm: (..., nao, nao) real; returns the same shape.
+    """
+    p = theta["pbcft"]
+    R, I, w = p["Fre"], p["Fim"], p["wcoul"]
+    w = w.astype(dm.dtype)
+    tR = jnp.einsum("gik,...kl->...gil", R, dm)
+    tI = jnp.einsum("gik,...kl->...gil", I, dm)
+    k = (jnp.einsum("...gil,g,gjl->...ij", tR, w, R)
+         + jnp.einsum("...gil,g,gjl->...ij", tI, w, I))
+    mad = p.get("madelung")
+    if mad is not None:
+        s = theta["ovlp"]
+        k = k + mad * jnp.einsum("ik,...kl,lj->...ij", s, dm, s)
+    return k
+
+
 def aft_vnuc(Fre, Fim, w, atomzs, atompos, Gv):
     """Nuclear-attraction matrix from point nuclei in G-space:
     Vne_ij = sum_G w_G Re[n_nuc(G) conj(F_ij(G))],

@@ -73,10 +73,11 @@ class HFEngine:
 
     def _k(self, theta, dm):
         if "pbcft" in theta:
-            # parity: reference PBC exact exchange is NotImplemented
-            # (hcgto_pbc.py:183-185)
-            raise NotImplementedError(
-                "Exact exchange not implemented for PBC systems")
+            # G-space exchange from the pair-FT tensors (+Madelung G=0
+            # correction) — beyond the reference, whose PBC exact exchange
+            # is NotImplemented (hcgto_pbc.py:183-185)
+            from ..ops.pbcft import aft_k
+            return aft_k(theta, dm)
         if "eri" in theta:
             return jnp.einsum("ikjl,...kl->...ij", theta["eri"], dm)
         if "eri_k" in theta:

@@ -38,6 +38,10 @@ class SCFOptions(NamedTuple):
     mixed: bool = True
     mixed_tol: float = 3e-5     # f32-phase DIIS error target
     mixed_maxiter: int = 40
+    # PBC exact-exchange divergence treatment for the dropped G=0 Coulomb
+    # term: "ewald" = probe-charge Madelung correction (K += M * S dm S),
+    # None = plain truncation. Ignored for molecular systems.
+    exxdiv: str = "ewald"
 
 
 def _flat(x):

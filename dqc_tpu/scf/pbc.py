@@ -12,9 +12,11 @@ Everything downstream of the params pytree is jnp math, so PBC energies
 are differentiable w.r.t. atom positions and basis parameters — the
 reference's PBC integral backward is NotImplemented (pbcintor.py:246,271).
 
-Exact exchange is not wired for PBC (parity: reference raises
-NotImplementedError, hcgto_pbc.py:183-185); pure and hybrid-free
-functionals only.
+Exact exchange (which the reference lacks entirely for PBC —
+hcgto_pbc.py:183-185 raises NotImplementedError) is assembled in G-space
+from the same pair-FT tensors (ops/pbcft.aft_k) with a probe-charge Ewald
+(Madelung) correction for the dropped G=0 term, enabling periodic
+Hartree-Fock and hybrid functionals at gamma.
 """
 from __future__ import annotations
 
@@ -70,7 +72,19 @@ def setup_pbc_grid_theta(meta, params, pbcgrid, ls_ao, family: int = 1):
     return out
 
 
-def build_pbc_core_theta(sol, params, atomzs, *, precision: float = 1e-9):
+def madelung_constant(lattice) -> float:
+    """Probe-charge Madelung constant of the cell: minus twice the Ewald
+    energy of a single unit point charge in a neutralizing background
+    (PySCF's exxdiv="ewald" convention). Positive; ~2.8373/L for a simple
+    cubic cell of edge L. Host-side (call outside jit: the lattice is
+    static, so this is a frozen scalar of the calculation)."""
+    import numpy as _np
+    e = ewald_energy(_np.ones(1), _np.zeros((1, 3)), lattice)
+    return -2.0 * float(e)
+
+
+def build_pbc_core_theta(sol, params, atomzs, *, precision: float = 1e-9,
+                         madelung=None):
     """params -> theta for the gamma-point PBC SCF: real ovlp/hcore from
     lattice sums + AFT, pair-FT Coulomb factors, Ewald nuclei energy."""
     meta = sol.meta
@@ -95,5 +109,6 @@ def build_pbc_core_theta(sol, params, atomzs, *, precision: float = 1e-9):
         "X": X,
         "keep": keep,
         "enuc": ewald_energy(atomzs, params["atompos"], lat),
-        "pbcft": {"Fre": Fre, "Fim": Fim, "wcoul": w},
+        "pbcft": {"Fre": Fre, "Fim": Fim, "wcoul": w,
+                  "madelung": madelung},
     }

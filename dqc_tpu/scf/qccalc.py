@@ -690,10 +690,7 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
        opts: Optional[SCFOptions] = None) -> SCF_QCCalc:
     """Hartree-Fock driver (parity: reference dqc.HF, hf.py:31-69)."""
     if hasattr(mol, "lattice"):
-        raise NotImplementedError(
-            "PBC HF needs exact exchange, which is not implemented "
-            "(parity: reference hcgto_pbc.py:183-185); use KS with a "
-            "pure functional")
+        return _pbc_hf(mol, restricted=restricted, opts=opts)
     if variational and opts is None:
         opts = SCFOptions(method="variational")
     polarized = mol.polarized if restricted is None else (not restricted)
@@ -773,6 +770,32 @@ def _kpbc_ks(sol, xc, *, opts=None):
                       opts=opts or SCFOptions(mixed=False))
 
 
+def _pbc_hf(sol, *, restricted=None, opts=None):
+    """Gamma-point periodic Hartree-Fock: AFT G-space J and K with the
+    Madelung exxdiv correction (ops/pbcft.aft_k). Beyond the reference,
+    whose PBC exact exchange is NotImplemented (hcgto_pbc.py:183-185)."""
+    import numpy as _np
+    if len(sol.kpts) > 1 or _np.abs(_np.asarray(sol.kpts)).max() > 1e-12:
+        raise NotImplementedError(
+            "k-point exact exchange not implemented; use gamma sampling "
+            "(kpts=None) for periodic HF")
+    from .pbc import build_pbc_core_theta, madelung_constant
+    opts = opts or SCFOptions()
+    polarized = sol.polarized if restricted is None else (not restricted)
+    occ = _occ_array(sol, polarized)
+    engine = HFEngine(polarized=polarized)
+    mad = (madelung_constant(sol.lattice) if opts.exxdiv == "ewald"
+           else None)
+
+    def build_theta(params):
+        theta = build_pbc_core_theta(sol, params["basis"], params["atomzs"],
+                                     madelung=mad)
+        theta["occ"] = occ
+        return theta
+
+    return SCF_QCCalc(sol, engine, build_theta=build_theta, opts=opts)
+
+
 def _pbc_ks(sol, xc, *, restricted=None, opts=None):
     """Gamma-point PBC Kohn-Sham (parity: reference KS over Sol + GDF,
     test_ks.py:555-570; here AFT G-space Coulomb, scf/pbc.py)."""
@@ -781,30 +804,31 @@ def _pbc_ks(sol, xc, *, restricted=None, opts=None):
         return _kpbc_ks(sol, xc, opts=opts)
     from ..xc import get_xc
     from ..ops.pbc import estimate_rcut
-    from .pbc import build_pbc_core_theta, setup_pbc_grid_theta
+    from .pbc import (build_pbc_core_theta, madelung_constant,
+                      setup_pbc_grid_theta)
     if isinstance(xc, str):
         xc = get_xc(xc)
-    if getattr(xc, "exx_fraction", 0.0) != 0.0:
-        raise NotImplementedError(
-            "Hybrid functionals unavailable for PBC (exact exchange "
-            "not implemented, parity: reference hcgto_pbc.py:183-185)")
+    opts = opts or SCFOptions()
     polarized = sol.polarized if restricted is None else (not restricted)
     occ = _occ_array(sol, polarized)
     pbcgrid = sol.setup_grid()
     ls_ao = sol.lattice.get_lattice_ls(
         estimate_rcut(sol.meta, sol.params, 1e-8))
     engine = KSEngine(xc, polarized=polarized)
+    needs_k = getattr(xc, "exx_fraction", 0.0) != 0.0
+    mad = (madelung_constant(sol.lattice)
+           if (needs_k and opts.exxdiv == "ewald") else None)
 
     def build_theta(params):
-        theta = build_pbc_core_theta(sol, params["basis"], params["atomzs"])
+        theta = build_pbc_core_theta(sol, params["basis"], params["atomzs"],
+                                     madelung=mad)
         theta["occ"] = occ
         theta["grid"] = setup_pbc_grid_theta(
             sol.meta, params["basis"], pbcgrid, ls_ao, family=xc.family)
         theta["xc_params"] = params.get("xc_params")
         return theta
 
-    return SCF_QCCalc(sol, engine, build_theta=build_theta,
-                      opts=opts or SCFOptions())
+    return SCF_QCCalc(sol, engine, build_theta=build_theta, opts=opts)
 
 
 def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,

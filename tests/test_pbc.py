@@ -153,3 +153,81 @@ def test_eval_ao_ft_vs_numeric():
         num = (ao * ph[:, None]).sum(0) * dv
         np.testing.assert_allclose(num.real, np.asarray(re)[g], atol=2e-4)
         np.testing.assert_allclose(num.imag, np.asarray(im)[g], atol=2e-4)
+
+
+SOFT_HE = """He     0
+S    1   1.00
+      1.20    1.0
+S    1   1.00
+      0.30    1.0
+****
+"""
+
+
+def test_madelung_constant_sc():
+    """Probe-charge Madelung constant of a simple cubic cell: 2.837297/L
+    (jellium point-charge constant; the exxdiv='ewald' scalar)."""
+    from dqc_tpu.scf.pbc import madelung_constant
+    for L in (4.0, 7.5):
+        m = madelung_constant(Lattice(np.eye(3) * L))
+        assert abs(m - 2.8372974794806 / L) < 1e-9
+
+
+def test_aft_k_matches_dense_gspace_eri():
+    """aft_k's stacked-matmul exchange == brute-force contraction of the
+    dense G-space ERI (ij|kl) = sum_G w_G conj(F_ij) F_kl, including the
+    Madelung G=0 correction. Exact algebra identity."""
+    import dqc_tpu
+    from dqc_tpu.ops.pbcft import aft_k
+    sol = Sol("He 0 0 0", np.eye(3) * 5.0, basis=SOFT_HE)
+    qc = dqc_tpu.HF(sol).run()
+    th = qc._theta
+    p = th["pbcft"]
+    R, I, w = (np.asarray(p["Fre"]), np.asarray(p["Fim"]),
+               np.asarray(p["wcoul"]))
+    eri = (np.einsum("g,gij,gkl->ijkl", w, R, R)
+           + np.einsum("g,gij,gkl->ijkl", w, I, I))
+    rng = np.random.default_rng(0)
+    nao = R.shape[1]
+    dm = rng.standard_normal((nao, nao))
+    dm = dm + dm.T
+    S = np.asarray(th["ovlp"])
+    k_dense = (np.einsum("ikjl,kl->ij", eri, dm)
+               + p["madelung"] * S @ dm @ S)
+    k_aft = np.asarray(aft_k(th, jnp.asarray(dm)))
+    np.testing.assert_allclose(k_aft, k_dense, atol=1e-12)
+
+
+def test_pbc_hf_molecular_limit():
+    """Gamma-point periodic HF of one He in a growing box approaches the
+    isolated-molecule HF energy (Madelung-corrected exchange); without the
+    correction (exxdiv=None) the error is ~nelec*madelung/2 ~ 0.3 Ha.
+    Beyond the reference: its PBC exact exchange is NotImplemented
+    (hcgto_pbc.py:183-185)."""
+    import dqc_tpu
+    from dqc_tpu.scf.qccalc import SCFOptions
+    e_mol = float(dqc_tpu.HF(dqc_tpu.Mol("He 0 0 0", basis=SOFT_HE))
+                  .run().energy())
+    errs = []
+    for L in (6.0, 9.0):
+        sol = Sol("He 0 0 0", np.eye(3) * L, basis=SOFT_HE)
+        e = float(dqc_tpu.HF(sol).run().energy())
+        errs.append(abs(e - e_mol))
+    assert errs[1] < 0.01
+    assert errs[1] < errs[0] / 2.5          # finite-size error shrinks fast
+    # uncorrected truncation leaves an O(madelung) error
+    sol = Sol("He 0 0 0", np.eye(3) * 6.0, basis=SOFT_HE)
+    e_none = float(dqc_tpu.HF(sol, opts=SCFOptions(exxdiv=None))
+                   .run().energy())
+    assert abs(e_none - e_mol) > 0.2
+
+
+def test_pbc_hybrid_ks_consistency():
+    """The hybrid KS engine's PBC exact exchange == the HF driver's:
+    KS(sol, xc='hf') (exx_fraction=1, zero semilocal part) reproduces
+    HF(sol) through the entirely separate KS Fock/energy assembly."""
+    import dqc_tpu
+    sol = Sol("He 0 0 0", np.eye(3) * 5.0, basis=SOFT_HE, grid="sg2")
+    e_hf = float(dqc_tpu.HF(sol).run().energy())
+    e_ks = float(dqc_tpu.KS(sol, xc="hf").run().energy())
+    assert abs(e_hf - e_ks) < 1e-8
