@@ -46,8 +46,62 @@ def _c(re, im):
     return re + 1j * im
 
 
+def kmesh_supercell(lattice, kpts):
+    """Infer the Monkhorst-Pack mesh dims from the k-point list and return
+    the Born-von-Karman supercell lattice (used for the exxdiv Madelung
+    constant, matching PySCF's madelung(cell, kpts) convention)."""
+    from ..system.lattice import Lattice
+    a = np.asarray(lattice.lattice_vectors())
+    # fractional coords of kpts in the reciprocal lattice
+    frac = np.asarray(kpts) @ a.T / (2.0 * np.pi)
+    dims = [len(np.unique(np.round(frac[:, i] % 1.0, 8)))
+            for i in range(3)]
+    return Lattice(a * np.asarray(dims, dtype=float)[:, None])
+
+
+def build_kpbc_exx_theta(meta, params, params_np, lattice, Gv, kpts,
+                         precision: float = 1e-9):
+    """Mixed Bloch pair-FT tensors for k-point exact exchange.
+
+    For each ordered (k, k') pair, with q = k' - k:
+      A^{kk'}_{ia}(G) = sum_T e^{ik'T} <phi_i | e^{-i(q+G).r} | phi_a(.-T)>
+    — the same Hermite pair FT as the Coulomb path, evaluated on the
+    shifted vector set q+G (ops/pbcft.pbc_pair_ft_k). The exchange kernel
+    w(q+G) = 4pi/(V|q+G|^2) drops only the single singular q=0, G=0 term
+    (restored by the Madelung correction).
+
+    Returns {"Are","Aim": (nk,nk,ng,nao,nao), "wq": (nk,nk,ng)}.
+    Beyond the reference: its PBC exact exchange is NotImplemented
+    (hcgto_pbc.py:183-185)."""
+    from ..ops.pbcft import pbc_pair_ft_k, pbc_pair_plan_ordered
+    plan = pbc_pair_plan_ordered(meta, params_np, lattice, precision)
+    kpts = np.asarray(kpts)
+    nk = len(kpts)
+    vol = lattice.volume()
+    Are, Aim, wq = [], [], []
+    for i in range(nk):
+        re_i, im_i, w_i = [], [], []
+        for j in range(nk):
+            q = kpts[j] - kpts[i]
+            gvq = Gv + q[None, :]
+            r, m = pbc_pair_ft_k(meta, params, plan, gvq, kpts[j:j + 1])
+            re_i.append(r[0])
+            im_i.append(m[0])
+            g2 = jnp.sum(jnp.asarray(gvq) ** 2, axis=-1)
+            nzero = g2 > 1e-12
+            w_i.append(jnp.where(
+                nzero, 4.0 * jnp.pi / (vol * jnp.where(nzero, g2, 1.0)),
+                0.0))
+        Are.append(jnp.stack(re_i))
+        Aim.append(jnp.stack(im_i))
+        wq.append(jnp.stack(w_i))
+    return {"Are": jnp.stack(Are), "Aim": jnp.stack(Aim),
+            "wq": jnp.stack(wq)}
+
+
 def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
-                     family: int = 1):
+                     family: int = 1, with_exx: bool = False,
+                     madelung=None):
     """params -> theta for the k-point PBC SCF (complex tensors)."""
     meta = sol.meta
     lat = sol.lattice
@@ -112,7 +166,7 @@ def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
     if deriv >= 1:
         grid["ao_grad"] = tuple(x.swapaxes(0, 1) for x in tabs["ao_grad"])
 
-    return {
+    theta = {
         "hcore": T + _c(vne_re, vne_im),
         "ovlp": S,
         "X": X,
@@ -122,12 +176,18 @@ def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
         "wk": jnp.full((len(kpts),), 1.0 / len(kpts)),
         "grid": grid,
     }
+    if with_exx:
+        theta["exx"] = build_kpbc_exx_theta(meta, params, sol.params, lat,
+                                            Gv, kpts, precision)
+        theta["exx"]["madelung"] = madelung
+    return theta
 
 
 class KPBCEngine:
-    """Restricted k-point KS with LDA/GGA (no exact exchange, parity:
-    reference hcgto_pbc.py:183-185). State: dm (nk, nao, nao) complex,
-    carried through DIIS as a re/im-split real pytree."""
+    """Restricted k-point KS with LDA/GGA + hybrid exact exchange (the
+    reference's PBC exact exchange is NotImplemented, hcgto_pbc.py:183-185).
+    State: dm (nk, nao, nao) complex, carried through DIIS as a
+    re/im-split real pytree."""
 
     polarized = False
     supports_mixed = False      # complex128 state; no f32 pre-phase
@@ -136,8 +196,7 @@ class KPBCEngine:
         self.xc = xc
         self.nk = nk
         self.nao = nao
-        if getattr(xc, "exx_fraction", 0.0) != 0.0:
-            raise NotImplementedError("no PBC exact exchange")
+        self.hyb = float(getattr(xc, "exx_fraction", 0.0))
 
     # --- density in G-space & J -----------------------------------------
     def _rho_g(self, dm, theta):
@@ -215,10 +274,30 @@ class KPBCEngine:
             v = v + t + jnp.conj(jnp.swapaxes(t, -1, -2))
         return exc, v
 
+    # --- exact exchange ---------------------------------------------------
+    def _k(self, dm, theta):
+        """K^k_ij = sum_k' w_k' sum_G w(q+G) [A dm^{k'} A^H]_ij with the
+        mixed Bloch pair-FT stack A = A^{kk'}(G) (build_kpbc_exx_theta),
+        plus the Madelung G=0 correction K^k += M S^k dm^k S^k."""
+        ex = theta["exx"]
+        A = _c(ex["Are"], ex["Aim"])                 # (nk,nk,g,i,a)
+        wk = theta["wk"].astype(jnp.float64)
+        t = jnp.einsum("xygia,yab->xygib", A, dm)
+        k = jnp.einsum("xyg,y,xygib,xygjb->xij", ex["wq"], wk, t,
+                       jnp.conj(A))
+        mad = ex.get("madelung")
+        if mad is not None:
+            s = theta["ovlp"]
+            k = k + mad * jnp.einsum("kij,kjl,klm->kim", s, dm, s)
+        return k
+
     # --- SCF pieces -------------------------------------------------------
     def fock(self, dm, theta):
         _, v = self._vxc(dm, theta)
-        return theta["hcore"] + self._j(dm, theta) + v
+        f = theta["hcore"] + self._j(dm, theta) + v
+        if self.hyb != 0.0:
+            f = f - 0.5 * self.hyb * self._k(dm, theta)
+        return f
 
     def dm_from_fock(self, fock, theta):
         X = theta["X"]
@@ -241,7 +320,13 @@ class KPBCEngine:
         rho = self._rho_g(dm, theta)
         ej = 0.5 * jnp.sum(theta["wcoul"] * jnp.abs(rho) ** 2)
         exc, _, _, _ = self._exc_and_pots(dm, theta)
-        return e1 + ej + exc + theta["enuc"]
+        e = e1 + ej + exc + theta["enuc"]
+        if self.hyb != 0.0:
+            ek = jnp.real(jnp.einsum("k,kij,kji->",
+                                     theta["wk"].astype(dm.dtype), dm,
+                                     self._k(dm, theta)))
+            e = e - 0.25 * self.hyb * ek
+        return e
 
     def diis_err(self, fock, dm, theta):
         s, X = theta["ovlp"], theta["X"]

@@ -746,7 +746,8 @@ def _kpbc_ks(sol, xc, *, opts=None):
     """k-point PBC Kohn-Sham (restricted; scf/kpbc.py)."""
     from ..xc import get_xc
     from ..utils.safeops import occnumber
-    from .kpbc import KPBCEngine, build_kpbc_theta
+    from .kpbc import KPBCEngine, build_kpbc_theta, kmesh_supercell
+    from .pbc import madelung_constant
     if isinstance(xc, str):
         xc = get_xc(xc)
     if sol.polarized:
@@ -756,18 +757,24 @@ def _kpbc_ks(sol, xc, *, opts=None):
     if xc.family > 2:
         raise NotImplementedError(
             "k-point SCF supports LDA/GGA functionals (no MGGA tables yet)")
+    opts = opts or SCFOptions(mixed=False)
     nup, _ = sol.nelec
     occ = 2.0 * occnumber(nup, sol.meta.nao)
     engine = KPBCEngine(xc, nk=len(sol.kpts), nao=sol.meta.nao)
+    with_exx = engine.hyb != 0.0
+    # exxdiv Madelung constant of the Born-von-Karman supercell defined
+    # by the k-mesh (PySCF madelung(cell, kpts) convention)
+    mad = (madelung_constant(kmesh_supercell(sol.lattice, sol.kpts))
+           if (with_exx and opts.exxdiv == "ewald") else None)
 
     def build_theta(params):
         th = build_kpbc_theta(sol, params["basis"], params["atomzs"],
-                              family=xc.family)
+                              family=xc.family, with_exx=with_exx,
+                              madelung=mad)
         th["occ"] = occ
         return th
 
-    return SCF_QCCalc(sol, engine, build_theta=build_theta,
-                      opts=opts or SCFOptions(mixed=False))
+    return SCF_QCCalc(sol, engine, build_theta=build_theta, opts=opts)
 
 
 def _pbc_hf(sol, *, restricted=None, opts=None):
@@ -776,9 +783,9 @@ def _pbc_hf(sol, *, restricted=None, opts=None):
     whose PBC exact exchange is NotImplemented (hcgto_pbc.py:183-185)."""
     import numpy as _np
     if len(sol.kpts) > 1 or _np.abs(_np.asarray(sol.kpts)).max() > 1e-12:
-        raise NotImplementedError(
-            "k-point exact exchange not implemented; use gamma sampling "
-            "(kpts=None) for periodic HF")
+        # k-point HF = the k-point KS engine with the pure exact-exchange
+        # functional (zero semilocal part)
+        return _kpbc_ks(sol, "hf", opts=opts)
     from .pbc import build_pbc_core_theta, madelung_constant
     opts = opts or SCFOptions()
     polarized = sol.polarized if restricted is None else (not restricted)

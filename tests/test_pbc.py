@@ -231,3 +231,33 @@ def test_pbc_hybrid_ks_consistency():
     e_hf = float(dqc_tpu.HF(sol).run().energy())
     e_ks = float(dqc_tpu.KS(sol, xc="hf").run().energy())
     assert abs(e_hf - e_ks) < 1e-8
+
+
+def test_kpoint_hf_supercell_invariant():
+    """k-point exact exchange oracle (Bloch theorem): 2-point k-mesh HF on
+    the primitive He cell == half the gamma HF energy of the doubled
+    supercell. Exercises the mixed (k,k') pair-FT exchange stack against
+    the entirely separate gamma-point aft_k path."""
+    import dqc_tpu
+    a = 3.0
+    kpts = np.array([[0.0, 0.0, 0.0], [np.pi / a, 0.0, 0.0]])
+    s1 = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", kpts=kpts)
+    e_k = float(dqc_tpu.HF(s1).run().energy())
+    s2 = Sol(f"He 0 0 0; He {a} 0 0", np.diag([2 * a, a, a]),
+             basis="sto-3g")
+    e_sc = float(dqc_tpu.HF(s2).run().energy())
+    assert abs(e_k - e_sc / 2) < 1e-6
+
+
+def test_kpoint_exchange_gamma_consistency():
+    """The general shifted-vector k-exchange machinery at a single k=0
+    reproduces the dedicated gamma-point pair-FT exchange."""
+    import dqc_tpu
+    from dqc_tpu.scf.qccalc import _kpbc_ks
+    a = 3.0
+    sol_g = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", grid="sg2")
+    e_gamma = float(dqc_tpu.HF(sol_g).run().energy())
+    sol_k = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", grid="sg2",
+                kpts=np.zeros((1, 3)))
+    e_k = float(_kpbc_ks(sol_k, "hf").run().energy())
+    assert abs(e_k - e_gamma) < 1e-8
