@@ -114,8 +114,8 @@ def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
     gcut = gcut_estimate(meta, sol.params, precision)
     Gv, _ = lat.get_gvgrids(gcut)
     negG = jnp.asarray(_neg_g_index(Gv))
-    plan = pbc_pair_plan_ordered(meta, sol.params, lat, precision)
-    Qre, Qim = pbc_pair_ft_k(meta, params, plan, Gv, kpts)
+    plan_q = pbc_pair_plan_ordered(meta, sol.params, lat, precision)
+    Qre, Qim = pbc_pair_ft_k(meta, params, plan_q, Gv, kpts)
     w = coulomb_gweights(Gv, lat.volume())
 
     # nuclear attraction: Vne^k = sum_G w_G n_nuc(G) Q^k(-G)
@@ -152,7 +152,7 @@ def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
         jax.checkpoint(
             lambda a: becke_weights(a["c"], a["i"], vpos, vradii)),
         {"c": coords, "i": vidx}, ng, 512)
-    deriv = 0 if family <= 1 else 1
+    deriv = 0 if family <= 1 else (1 if family <= 2 else 2)
 
     def ao_body(c):
         t = eval_ao_pbc_k(meta, params, c, ls_ao, kpts, deriv=deriv)
@@ -165,6 +165,8 @@ def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
     grid["ao"] = tuple(x.swapaxes(0, 1) for x in tabs["ao"])
     if deriv >= 1:
         grid["ao_grad"] = tuple(x.swapaxes(0, 1) for x in tabs["ao_grad"])
+    if deriv >= 2:
+        grid["ao_lapl"] = tuple(x.swapaxes(0, 1) for x in tabs["ao_lapl"])
 
     theta = {
         "hcore": T + _c(vne_re, vne_im),
@@ -184,153 +186,188 @@ def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
 
 
 class KPBCEngine:
-    """Restricted k-point KS with LDA/GGA + hybrid exact exchange (the
-    reference's PBC exact exchange is NotImplemented, hcgto_pbc.py:183-185).
-    State: dm (nk, nao, nao) complex, carried through DIIS as a
-    re/im-split real pytree."""
+    """Restricted/unrestricted k-point KS with LDA/GGA/MGGA + hybrid exact
+    exchange (the reference's k-point PBC is restricted LDA/GGA with exact
+    exchange NotImplemented, hcgto_pbc.py:183-185). State: dm
+    (nk, nao, nao) complex — (2, nk, nao, nao) polarized — carried through
+    DIIS as a re/im-split real pytree. The pointwise XC chain (screening,
+    pol/unpol dispatch, AD potentials) is shared with the molecular path
+    (xc/integrate._edens_at); only the density build and the V^k assembly
+    are k-specific (complex Bloch AO tables)."""
 
-    polarized = False
     supports_mixed = False      # complex128 state; no f32 pre-phase
 
-    def __init__(self, xc, nk: int, nao: int):
+    def __init__(self, xc, nk: int, nao: int, polarized: bool = False):
         self.xc = xc
         self.nk = nk
         self.nao = nao
+        self.polarized = polarized
         self.hyb = float(getattr(xc, "exx_fraction", 0.0))
 
-    # --- density in G-space & J -----------------------------------------
-    def _rho_g(self, dm, theta):
-        Q = _c(theta["Qre"], theta["Qim"])
-        return jnp.einsum("k,kij,kgji->g", theta["wk"].astype(dm.dtype),
-                          dm, Q)
+    def dm_tot(self, dm):
+        return dm.sum(axis=0) if self.polarized else dm
 
-    def _j(self, dm, theta):
-        rho = self._rho_g(dm, theta)
+    # --- density in G-space & J (total density) --------------------------
+    def _rho_g(self, dmt, theta):
+        Q = _c(theta["Qre"], theta["Qim"])
+        return jnp.einsum("k,kij,kgji->g", theta["wk"].astype(dmt.dtype),
+                          dmt, Q)
+
+    def _j(self, dmt, theta):
+        rho = self._rho_g(dmt, theta)
         Qn = _c(theta["Qre"], theta["Qim"])[:, theta["negG"]]
         return jnp.einsum("g,kgij->kij", theta["wcoul"] * rho, Qn)
 
-    # --- real-space density & XC ----------------------------------------
-    def _dens(self, dm, theta):
-        are, aim = theta["grid"]["ao"]                  # (nk, ng, nao)
-        wk = theta["wk"].astype(dm.dtype)
-        # rho = sum_k w_k Re sum_ij dm_ij phi_i phibar_j
-        phi = _c(are, aim)
-        out = {"rho": jnp.real(jnp.einsum("k,kij,kgi,kgj->g", wk, dm,
+    # --- real-space densities (per spin channel) -------------------------
+    def _dens_of(self, dmi, theta):
+        """dmi (nk,nao,nao) -> {rho (ng,), grad (3,ng), lapl, tau} matching
+        the layout xc/integrate._edens_at expects."""
+        g = theta["grid"]
+        phi = _c(*g["ao"])                              # (nk, ng, nao)
+        wk = theta["wk"].astype(dmi.dtype)
+        fam = self.xc.family
+        out = {"rho": jnp.real(jnp.einsum("k,kij,kgi,kgj->g", wk, dmi,
                                           phi, jnp.conj(phi)))}
-        if self.xc.family >= 2:
-            gre, gim = theta["grid"]["ao_grad"]         # (nk, ng, 3, nao)
-            gphi = _c(gre, gim)
-            Ag = jnp.einsum("k,kij,kgdi,kgj->gd", wk, dm, gphi,
+        if fam >= 2:
+            gphi = _c(*g["ao_grad"])                    # (nk, ng, 3, nao)
+            Ag = jnp.einsum("k,kij,kgdi,kgj->dg", wk, dmi, gphi,
                             jnp.conj(phi))
             out["grad"] = 2.0 * jnp.real(Ag)
+        if fam >= 4:
+            gg = jnp.real(jnp.einsum("k,kij,kgdi,kgdj->g", wk, dmi, gphi,
+                                     jnp.conj(gphi)))
+            lphi = _c(*g["ao_lapl"])                    # (nk, ng, nao)
+            t1 = jnp.real(jnp.einsum("k,kij,kgi,kgj->g", wk, dmi, lphi,
+                                     jnp.conj(phi)))
+            out["lapl"] = 2.0 * t1 + 2.0 * gg
+            out["tau"] = 0.5 * gg
         return out
 
+    def _dens(self, dm, theta):
+        if self.polarized:
+            return {"u": self._dens_of(dm[0], theta),
+                    "d": self._dens_of(dm[1], theta)}
+        return self._dens_of(dm, theta)
+
     def init_dm(self):
-        nk, nao = self.nk, self.nao
-        return jnp.zeros((nk, nao, nao), dtype=jnp.complex128)
+        shape = (self.nk, self.nao, self.nao)
+        if self.polarized:
+            shape = (2,) + shape
+        return jnp.zeros(shape, dtype=jnp.complex128)
 
-    def _exc_and_pots(self, dm, theta):
-        """E_xc plus pointwise potentials v_rho (ng,) and v_sigma (ng,)."""
-        from ..xc.integrate import _dens_threshold
+    # --- XC: shared pointwise chain + complex closed-form assembly --------
+    def _esum(self, dens, theta):
+        from ..xc.integrate import _edens_at
+        e = _edens_at(self.xc, dens, self.polarized,
+                      theta.get("xc_params"))
+        return jnp.sum(e * theta["grid"]["dvol"])
+
+    def _exc(self, dm, theta):
+        return self._esum(self._dens(dm, theta), theta)
+
+    def _assemble(self, vbar, theta):
+        """Complex V^k from pointwise adjoints (dvol folded in); the k-space
+        analog of xc/integrate._vxc_assemble. Per-k potential carries no
+        w_k factor (the density expressions do): F^k is the band Fock."""
+        g = theta["grid"]
+        phi = _c(*g["ao"])
+        raw = jnp.einsum("g,kgi,kgj->kij", vbar["rho"], jnp.conj(phi), phi)
+        vg = vbar.get("grad")
+        if vg is not None:
+            gphi = _c(*g["ao_grad"])
+            raw = raw + 2.0 * jnp.einsum("dg,kgdi,kgj->kij", vg,
+                                         jnp.conj(gphi), phi)
+        vl = vbar.get("lapl")
+        if vl is not None:
+            lphi = _c(*g["ao_lapl"])
+            raw = raw + 2.0 * jnp.einsum("g,kgi,kgj->kij", vl,
+                                         jnp.conj(lphi), phi)
+            raw = raw + 2.0 * jnp.einsum("g,kgdi,kgdj->kij", vl,
+                                         jnp.conj(gphi), gphi)
+        vt = vbar.get("tau")
+        if vt is not None:
+            raw = raw + 0.5 * jnp.einsum("g,kgdi,kgdj->kij", vt,
+                                         jnp.conj(gphi), gphi)
+        return 0.5 * (raw + jnp.conj(jnp.swapaxes(raw, -1, -2)))
+
+    def _exc_vxc(self, dm, theta):
         dens = self._dens(dm, theta)
-        dvol = theta["grid"]["dvol"]
-        rho = dens["rho"]
-        mask = rho > _dens_threshold(rho.dtype)
-        rho_s = jnp.where(mask, rho, 1.0)
-        if self.xc.family >= 2:
-            sigma = jnp.sum(dens["grad"] ** 2, axis=-1)
-            sig_s = jnp.where(mask, sigma, 1.0)
-
-            def e_of(r, s):
-                return jnp.sum(dvol * jnp.where(
-                    mask, self.xc.edens_unpol(r, sigma=s), 0.0))
-
-            exc, (v_rho, v_sigma) = jax.value_and_grad(
-                e_of, argnums=(0, 1))(rho_s, sig_s)
-            v_rho = v_rho / dvol
-            v_sigma = v_sigma / dvol
-            return exc, jnp.where(mask, v_rho, 0.0), \
-                jnp.where(mask, v_sigma, 0.0), dens
+        exc, vbar = jax.value_and_grad(
+            lambda d: self._esum(d, theta))(dens)
+        if self.polarized:
+            v = jnp.stack([self._assemble(vbar["u"], theta),
+                           self._assemble(vbar["d"], theta)])
         else:
-            def e_of(r):
-                return jnp.sum(dvol * jnp.where(
-                    mask, self.xc.edens_unpol(r), 0.0))
-            exc, v_rho = jax.value_and_grad(e_of)(rho_s)
-            return exc, jnp.where(mask, v_rho / dvol, 0.0), None, dens
-
-    def _vxc(self, dm, theta):
-        exc, v_rho, v_sigma, dens = self._exc_and_pots(dm, theta)
-        are, aim = theta["grid"]["ao"]
-        phi = _c(are, aim)
-        dvol = theta["grid"]["dvol"]
-        # V^k_ij = int v_rho phibar_i phi_j dvol
-        v = jnp.einsum("g,kgi,kgj->kij", v_rho * dvol, jnp.conj(phi), phi)
-        if v_sigma is not None:
-            gre, gim = theta["grid"]["ao_grad"]
-            gphi = _c(gre, gim)
-            gr = dens["grad"]                            # (ng, 3)
-            wg = (2.0 * v_sigma * dvol)[:, None] * gr    # (ng, 3)
-            t = jnp.einsum("gd,kgdi,kgj->kij", wg, jnp.conj(gphi), phi)
-            v = v + t + jnp.conj(jnp.swapaxes(t, -1, -2))
+            v = self._assemble(vbar, theta)
         return exc, v
 
     # --- exact exchange ---------------------------------------------------
     def _k(self, dm, theta):
         """K^k_ij = sum_k' w_k' sum_G w(q+G) [A dm^{k'} A^H]_ij with the
         mixed Bloch pair-FT stack A = A^{kk'}(G) (build_kpbc_exx_theta),
-        plus the Madelung G=0 correction K^k += M S^k dm^k S^k."""
+        plus the Madelung G=0 correction K^k += M S^k dm^k S^k. Leading
+        spin axis broadcasts (per-spin exchange)."""
         ex = theta["exx"]
         A = _c(ex["Are"], ex["Aim"])                 # (nk,nk,g,i,a)
         wk = theta["wk"].astype(jnp.float64)
-        t = jnp.einsum("xygia,yab->xygib", A, dm)
-        k = jnp.einsum("xyg,y,xygib,xygjb->xij", ex["wq"], wk, t,
+        t = jnp.einsum("xygia,...yab->...xygib", A, dm)
+        k = jnp.einsum("xyg,y,...xygib,...xygjb->...xij", ex["wq"], wk, t,
                        jnp.conj(A))
         mad = ex.get("madelung")
         if mad is not None:
             s = theta["ovlp"]
-            k = k + mad * jnp.einsum("kij,kjl,klm->kim", s, dm, s)
+            k = k + mad * jnp.einsum("kij,...kjl,klm->...kim", s, dm, s)
         return k
 
     # --- SCF pieces -------------------------------------------------------
     def fock(self, dm, theta):
-        _, v = self._vxc(dm, theta)
-        f = theta["hcore"] + self._j(dm, theta) + v
-        if self.hyb != 0.0:
-            f = f - 0.5 * self.hyb * self._k(dm, theta)
+        _, v = self._exc_vxc(dm, theta)
+        hj = theta["hcore"] + self._j(self.dm_tot(dm), theta)
+        if self.polarized:
+            f = hj[None] + v
+            if self.hyb != 0.0:
+                f = f - self.hyb * self._k(dm, theta)
+        else:
+            f = hj + v
+            if self.hyb != 0.0:
+                f = f - 0.5 * self.hyb * self._k(dm, theta)
         return f
 
     def dm_from_fock(self, fock, theta):
         X = theta["X"]
-        fp = jnp.einsum("kim,kij,kjn->kmn", jnp.conj(X), fock, X)
+        fp = jnp.einsum("kim,...kij,kjn->...kmn", jnp.conj(X), fock, X)
         pin = jnp.where(theta["keep"], 0.0, LARGE).astype(fp.dtype)
         eye = jnp.eye(pin.shape[-1], dtype=fp.dtype)
         fp = fp + pin[:, :, None] * eye[None]
         w, u = jnp.linalg.eigh(fp)
-        c = jnp.einsum("kij,kjn->kin", X, u)
-        occ = theta["occ"]                               # (nao,)
-        return jnp.einsum("kin,n,kjn->kij", c, occ.astype(jnp.float64),
-                          jnp.conj(c))
+        c = jnp.einsum("kij,...kjn->...kin", X, u)
+        occ = theta["occ"]               # (nao,) or (2, nao) polarized
+        return jnp.einsum("...kin,...n,...kjn->...kij", c,
+                          occ.astype(jnp.float64), jnp.conj(c))
 
     def step(self, dm, theta):
         return self.dm_from_fock(self.fock(dm, theta), theta)
 
     def energy(self, dm, theta):
-        e1 = jnp.real(jnp.einsum("k,kij,kji->", theta["wk"].astype(dm.dtype),
-                                 theta["hcore"], dm))
-        rho = self._rho_g(dm, theta)
+        dmt = self.dm_tot(dm)
+        wk = theta["wk"]
+        e1 = jnp.real(jnp.einsum("k,kij,kji->", wk.astype(dmt.dtype),
+                                 theta["hcore"], dmt))
+        rho = self._rho_g(dmt, theta)
         ej = 0.5 * jnp.sum(theta["wcoul"] * jnp.abs(rho) ** 2)
-        exc, _, _, _ = self._exc_and_pots(dm, theta)
+        exc = self._exc(dm, theta)
         e = e1 + ej + exc + theta["enuc"]
         if self.hyb != 0.0:
-            ek = jnp.real(jnp.einsum("k,kij,kji->",
-                                     theta["wk"].astype(dm.dtype), dm,
-                                     self._k(dm, theta)))
-            e = e - 0.25 * self.hyb * ek
+            k = self._k(dm, theta)
+            ek = jnp.real(jnp.einsum("k,...kij,...kji->",
+                                     wk.astype(dm.dtype), dm, k))
+            fac = 0.5 if self.polarized else 0.25
+            e = e - fac * self.hyb * ek
         return e
 
     def diis_err(self, fock, dm, theta):
         s, X = theta["ovlp"], theta["X"]
-        fds = jnp.einsum("kij,kjl,klm->kim", fock, dm, s)
+        fds = jnp.einsum("...kij,...kjl,klm->...kim", fock, dm, s)
         comm = fds - jnp.conj(jnp.swapaxes(fds, -1, -2))
-        e = jnp.einsum("kim,kij,kjn->kmn", jnp.conj(X), comm, X)
+        e = jnp.einsum("kim,...kij,kjn->...kmn", jnp.conj(X), comm, X)
         return {"re": jnp.real(e), "im": jnp.imag(e)}

@@ -742,25 +742,19 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
     return calc
 
 
-def _kpbc_ks(sol, xc, *, opts=None):
-    """k-point PBC Kohn-Sham (restricted; scf/kpbc.py)."""
+def _kpbc_ks(sol, xc, *, restricted=None, opts=None):
+    """k-point PBC Kohn-Sham (restricted/unrestricted, LDA/GGA/MGGA +
+    hybrids; scf/kpbc.py)."""
     from ..xc import get_xc
-    from ..utils.safeops import occnumber
     from .kpbc import KPBCEngine, build_kpbc_theta, kmesh_supercell
     from .pbc import madelung_constant
     if isinstance(xc, str):
         xc = get_xc(xc)
-    if sol.polarized:
-        raise NotImplementedError(
-            "k-point SCF is restricted closed-shell for now; use gamma "
-            "sampling (kpts=None) for spin-polarized cells")
-    if xc.family > 2:
-        raise NotImplementedError(
-            "k-point SCF supports LDA/GGA functionals (no MGGA tables yet)")
     opts = opts or SCFOptions(mixed=False)
-    nup, _ = sol.nelec
-    occ = 2.0 * occnumber(nup, sol.meta.nao)
-    engine = KPBCEngine(xc, nk=len(sol.kpts), nao=sol.meta.nao)
+    polarized = sol.polarized if restricted is None else (not restricted)
+    occ = _occ_array(sol, polarized)
+    engine = KPBCEngine(xc, nk=len(sol.kpts), nao=sol.meta.nao,
+                        polarized=polarized)
     with_exx = engine.hyb != 0.0
     # exxdiv Madelung constant of the Born-von-Karman supercell defined
     # by the k-mesh (PySCF madelung(cell, kpts) convention)
@@ -772,6 +766,7 @@ def _kpbc_ks(sol, xc, *, opts=None):
                               family=xc.family, with_exx=with_exx,
                               madelung=mad)
         th["occ"] = occ
+        th["xc_params"] = params.get("xc_params")
         return th
 
     return SCF_QCCalc(sol, engine, build_theta=build_theta, opts=opts)
@@ -785,7 +780,7 @@ def _pbc_hf(sol, *, restricted=None, opts=None):
     if len(sol.kpts) > 1 or _np.abs(_np.asarray(sol.kpts)).max() > 1e-12:
         # k-point HF = the k-point KS engine with the pure exact-exchange
         # functional (zero semilocal part)
-        return _kpbc_ks(sol, "hf", opts=opts)
+        return _kpbc_ks(sol, "hf", restricted=restricted, opts=opts)
     from .pbc import build_pbc_core_theta, madelung_constant
     opts = opts or SCFOptions()
     polarized = sol.polarized if restricted is None else (not restricted)
@@ -808,7 +803,7 @@ def _pbc_ks(sol, xc, *, restricted=None, opts=None):
     test_ks.py:555-570; here AFT G-space Coulomb, scf/pbc.py)."""
     import numpy as _np
     if len(sol.kpts) > 1 or _np.abs(_np.asarray(sol.kpts)).max() > 1e-12:
-        return _kpbc_ks(sol, xc, opts=opts)
+        return _kpbc_ks(sol, xc, restricted=restricted, opts=opts)
     from ..xc import get_xc
     from ..ops.pbc import estimate_rcut
     from .pbc import (build_pbc_core_theta, madelung_constant,

@@ -261,3 +261,46 @@ def test_kpoint_exchange_gamma_consistency():
                 kpts=np.zeros((1, 3)))
     e_k = float(_kpbc_ks(sol_k, "hf").run().energy())
     assert abs(e_k - e_gamma) < 1e-8
+
+
+def test_kpoint_mgga_gamma_consistency():
+    """k-point MGGA (Bloch tau/lapl tables + complex V_xc assembly) at a
+    single k=0 reproduces the dedicated gamma-point real-table path."""
+    import dqc_tpu
+    from dqc_tpu.scf.qccalc import _kpbc_ks
+    a = 3.0
+    sol_g = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", grid="sg2")
+    e_gamma = float(dqc_tpu.KS(sol_g, xc="mgga_x_scan").run().energy())
+    sol_k = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", grid="sg2",
+                kpts=np.zeros((1, 3)))
+    e_k = float(_kpbc_ks(sol_k, "mgga_x_scan").run().energy())
+    assert abs(e_k - e_gamma) < 1e-8
+
+
+def test_kpoint_polarized_supercell_invariant():
+    """Unrestricted k-point SCF (KUKS analog, reference test_ks.py:555-570):
+    ferromagnetic H chain with 1 up electron/cell at a 2-point k-mesh ==
+    half the gamma supercell with spin=2. Residual ~1e-6 is the Becke-grid
+    difference between the primitive and doubled cells."""
+    import dqc_tpu
+    a = 3.0
+    kpts = np.array([[0.0, 0.0, 0.0], [np.pi / a, 0.0, 0.0]])
+    s1 = Sol("H 0 0 0", np.eye(3) * a, basis="sto-3g", spin=1, kpts=kpts)
+    e_k = float(dqc_tpu.KS(s1, xc="lda_x").run().energy())
+    s2 = Sol(f"H 0 0 0; H {a} 0 0", np.diag([2 * a, a, a]), basis="sto-3g",
+             spin=2)
+    e_sc = float(dqc_tpu.KS(s2, xc="lda_x").run().energy())
+    assert abs(e_k - e_sc / 2) < 5e-6
+
+
+def test_kpoint_mgga_supercell_invariant():
+    """Restricted MGGA on a 2-point k-mesh matches the doubled supercell."""
+    import dqc_tpu
+    a = 3.0
+    kpts = np.array([[0.0, 0.0, 0.0], [np.pi / a, 0.0, 0.0]])
+    s1 = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", kpts=kpts)
+    e_k = float(dqc_tpu.KS(s1, xc="mgga_x_scan").run().energy())
+    s2 = Sol(f"He 0 0 0; He {a} 0 0", np.diag([2 * a, a, a]),
+             basis="sto-3g")
+    e_sc = float(dqc_tpu.KS(s2, xc="mgga_x_scan").run().energy())
+    assert abs(e_k - e_sc / 2) < 1e-6
