@@ -52,6 +52,9 @@ def __getattr__(name):
                 "lowest_eival_orb_hessian"):
         from .api import properties
         return getattr(properties, name)
+    if name == "band_energies":
+        from .scf.kpbc import band_energies
+        return band_energies
     raise AttributeError(f"module 'dqc_tpu' has no attribute {name!r}")
 
 

@@ -60,7 +60,7 @@ def kmesh_supercell(lattice, kpts):
 
 
 def build_kpbc_exx_theta(meta, params, params_np, lattice, Gv, kpts,
-                         precision: float = 1e-9):
+                         precision: float = 1e-9, kpts_bra=None):
     """Mixed Bloch pair-FT tensors for k-point exact exchange.
 
     For each ordered (k, k') pair, with q = k' - k:
@@ -70,19 +70,23 @@ def build_kpbc_exx_theta(meta, params, params_np, lattice, Gv, kpts,
     w(q+G) = 4pi/(V|q+G|^2) drops only the single singular q=0, G=0 term
     (restored by the Madelung correction).
 
-    Returns {"Are","Aim": (nk,nk,ng,nao,nao), "wq": (nk,nk,ng)}.
+    kpts_bra (default = kpts) lets the bra axis differ from the mesh —
+    the rectangular (band-k x mesh-k') case used by band_energies.
+
+    Returns {"Are","Aim": (nkb,nk,ng,nao,nao), "wq": (nkb,nk,ng)}.
     Beyond the reference: its PBC exact exchange is NotImplemented
     (hcgto_pbc.py:183-185)."""
     from ..ops.pbcft import pbc_pair_ft_k, pbc_pair_plan_ordered
     plan = pbc_pair_plan_ordered(meta, params_np, lattice, precision)
     kpts = np.asarray(kpts)
+    kpts_bra = kpts if kpts_bra is None else np.asarray(kpts_bra)
     nk = len(kpts)
     vol = lattice.volume()
     Are, Aim, wq = [], [], []
-    for i in range(nk):
+    for i in range(len(kpts_bra)):
         re_i, im_i, w_i = [], [], []
         for j in range(nk):
-            q = kpts[j] - kpts[i]
+            q = kpts[j] - kpts_bra[i]
             gvq = Gv + q[None, :]
             r, m = pbc_pair_ft_k(meta, params, plan, gvq, kpts[j:j + 1])
             re_i.append(r[0])
@@ -97,6 +101,44 @@ def build_kpbc_exx_theta(meta, params, params_np, lattice, Gv, kpts,
         wq.append(jnp.stack(w_i))
     return {"Are": jnp.stack(Are), "Aim": jnp.stack(Aim),
             "wq": jnp.stack(wq)}
+
+
+def build_kpbc_grid(sol, params, kpts, family: int):
+    """Bloch AO tables (+Becke dvol) on the cell-wrapped grid at kpts."""
+    meta = sol.meta
+    lat = sol.lattice
+    pbcgrid = sol.setup_grid()
+    ls_ao = lat.get_lattice_ls(estimate_rcut(meta, sol.params, 1e-8))
+    atompos = params["atompos"]
+    aidx = jnp.asarray(pbcgrid.atom_idx.astype(np.int64))
+    coords = (atompos[aidx]
+              + jnp.asarray(pbcgrid.ratom)[:, None] * jnp.asarray(pbcgrid.dirs)
+              + jnp.asarray(pbcgrid.shift))
+    from ..grid.becke import becke_weights
+    vpos = atompos[jnp.asarray(pbcgrid.vowner)] + jnp.asarray(pbcgrid.vshift)
+    vradii = jnp.asarray(pbcgrid.atom_radii)[jnp.asarray(pbcgrid.vowner)]
+    vidx = jnp.asarray(pbcgrid.vatom_idx)
+    ng = coords.shape[0]
+    w_becke = map_blocks(
+        jax.checkpoint(
+            lambda a: becke_weights(a["c"], a["i"], vpos, vradii)),
+        {"c": coords, "i": vidx}, ng, 512)
+    deriv = 0 if family <= 1 else (1 if family <= 2 else 2)
+
+    def ao_body(c):
+        t = eval_ao_pbc_k(meta, params, c, ls_ao, kpts, deriv=deriv)
+        # chunk axis must lead for map_blocks; k axis restored below
+        return {k: (re.swapaxes(0, 1), im.swapaxes(0, 1))
+                for k, (re, im) in t.items()}
+
+    tabs = map_blocks(jax.checkpoint(ao_body), coords, ng, 2048)
+    grid = {"dvol": jnp.asarray(pbcgrid.w0) * w_becke}
+    grid["ao"] = tuple(x.swapaxes(0, 1) for x in tabs["ao"])
+    if deriv >= 1:
+        grid["ao_grad"] = tuple(x.swapaxes(0, 1) for x in tabs["ao_grad"])
+    if deriv >= 2:
+        grid["ao_lapl"] = tuple(x.swapaxes(0, 1) for x in tabs["ao_lapl"])
+    return grid
 
 
 def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
@@ -135,38 +177,7 @@ def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
     inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, ws, 1.0)), 0.0)
     X = vs * inv_sqrt[:, None, :]
 
-    # Bloch AO tables on the cell-wrapped Becke grid
-    pbcgrid = sol.setup_grid()
-    ls_ao = lat.get_lattice_ls(estimate_rcut(meta, sol.params, 1e-8))
-    atompos = params["atompos"]
-    aidx = jnp.asarray(pbcgrid.atom_idx.astype(np.int64))
-    coords = (atompos[aidx]
-              + jnp.asarray(pbcgrid.ratom)[:, None] * jnp.asarray(pbcgrid.dirs)
-              + jnp.asarray(pbcgrid.shift))
-    from ..grid.becke import becke_weights
-    vpos = atompos[jnp.asarray(pbcgrid.vowner)] + jnp.asarray(pbcgrid.vshift)
-    vradii = jnp.asarray(pbcgrid.atom_radii)[jnp.asarray(pbcgrid.vowner)]
-    vidx = jnp.asarray(pbcgrid.vatom_idx)
-    ng = coords.shape[0]
-    w_becke = map_blocks(
-        jax.checkpoint(
-            lambda a: becke_weights(a["c"], a["i"], vpos, vradii)),
-        {"c": coords, "i": vidx}, ng, 512)
-    deriv = 0 if family <= 1 else (1 if family <= 2 else 2)
-
-    def ao_body(c):
-        t = eval_ao_pbc_k(meta, params, c, ls_ao, kpts, deriv=deriv)
-        # chunk axis must lead for map_blocks; k axis restored below
-        return {k: (re.swapaxes(0, 1), im.swapaxes(0, 1))
-                for k, (re, im) in t.items()}
-
-    tabs = map_blocks(jax.checkpoint(ao_body), coords, ng, 2048)
-    grid = {"dvol": jnp.asarray(pbcgrid.w0) * w_becke}
-    grid["ao"] = tuple(x.swapaxes(0, 1) for x in tabs["ao"])
-    if deriv >= 1:
-        grid["ao_grad"] = tuple(x.swapaxes(0, 1) for x in tabs["ao_grad"])
-    if deriv >= 2:
-        grid["ao_lapl"] = tuple(x.swapaxes(0, 1) for x in tabs["ao_lapl"])
+    grid = build_kpbc_grid(sol, params, kpts, family)
 
     theta = {
         "hcore": T + _c(vne_re, vne_im),
@@ -371,3 +382,105 @@ class KPBCEngine:
         comm = fds - jnp.conj(jnp.swapaxes(fds, -1, -2))
         e = jnp.einsum("kim,...kij,kjn->...kmn", jnp.conj(X), comm, X)
         return {"re": jnp.real(e), "im": jnp.imag(e)}
+
+
+def band_energies(qc, kpts_band):
+    """KS/HF band energies eps_n(k) at arbitrary k-points from a converged
+    k-point PBC calculation (beyond the reference, which has no band API).
+
+    Rebuilds the converged effective Hamiltonian in the Bloch AO basis at
+    each requested k — T + V_ne + J[rho_SCF] + V_xc[dens_SCF]
+    (- hyb K[dm_SCF] for hybrids/HF, via the rectangular band-k x mesh-k'
+    pair-FT exchange stack) — and solves the generalized eigenproblem.
+
+    Returns (nkb, nao) — (2, nkb, nao) polarized — ascending eigenvalues
+    in Hartree; basis-null directions are pinned to ~LARGE and should be
+    ignored. Hybrid exxdiv: the Madelung G=0 correction applies at band
+    k-points that coincide with mesh k-points (the standard get_bands
+    convention; isolated band points between mesh points carry no
+    correction term)."""
+    eng = qc.engine
+    if not isinstance(eng, KPBCEngine):
+        raise TypeError(
+            "band_energies needs a k-point PBC calculation; construct the "
+            "Sol with kpts=... (a 1-point gamma mesh kpts=[[0,0,0]] works)")
+    assert qc._has_run, "call .run() first"
+    sol = qc.mol
+    theta = qc._theta
+    dm = qc._dm
+    meta, lat = sol.meta, sol.lattice
+    p = qc._all_params(with_fields=False)
+    params, atomzs = p["basis"], p["atomzs"]
+    kb = np.asarray(kpts_band, dtype=float).reshape(-1, 3)
+    precision = 1e-9
+
+    rcut = estimate_rcut(meta, sol.params, precision)
+    ls = lat.get_lattice_ls(rcut)
+    S = pbc_overlap(meta, params, ls, kb)
+    T = pbc_kinetic(meta, params, ls, kb)
+
+    gcut = gcut_estimate(meta, sol.params, precision)
+    Gv, _ = lat.get_gvgrids(gcut)
+    negG = jnp.asarray(_neg_g_index(Gv))
+    plan = pbc_pair_plan_ordered(meta, sol.params, lat, precision)
+    Qre, Qim = pbc_pair_ft_k(meta, params, plan, Gv, kb)
+    w = coulomb_gweights(Gv, lat.volume())
+
+    # nuclear attraction at band k (same G-space form as build_kpbc_theta)
+    ph = jnp.einsum("gd,ad->ga", jnp.asarray(Gv), params["atompos"])
+    z = jnp.asarray(atomzs)
+    nre = -jnp.einsum("a,ga->g", z, jnp.cos(ph))
+    nim = jnp.einsum("a,ga->g", z, jnp.sin(ph))
+    QreN, QimN = Qre[:, negG], Qim[:, negG]
+    vne = _c(jnp.einsum("g,kgij->kij", w * nre, QreN)
+             - jnp.einsum("g,kgij->kij", w * nim, QimN),
+             jnp.einsum("g,kgij->kij", w * nre, QimN)
+             + jnp.einsum("g,kgij->kij", w * nim, QreN))
+
+    # Hartree potential from the converged G-space density
+    dmt = eng.dm_tot(dm)
+    rho = eng._rho_g(dmt, theta)
+    Qn = _c(Qre, Qim)[:, negG]
+    J = jnp.einsum("g,kgij->kij", w * rho, Qn)
+
+    # XC potential: pointwise adjoints at the converged density, assembled
+    # with band-k Bloch AO tables
+    dens = eng._dens(dm, theta)
+    vbar = jax.grad(lambda d: eng._esum(d, theta))(dens)
+    gridb = build_kpbc_grid(sol, params, kb, eng.xc.family)
+    if eng.polarized:
+        vxc = jnp.stack([eng._assemble(vbar["u"], {"grid": gridb}),
+                         eng._assemble(vbar["d"], {"grid": gridb})])
+    else:
+        vxc = eng._assemble(vbar, {"grid": gridb})
+
+    hj = T + vne + J
+    f = (hj[None] + vxc) if eng.polarized else (hj + vxc)
+    if eng.hyb != 0.0:
+        exxb = build_kpbc_exx_theta(meta, params, sol.params, lat, Gv,
+                                    sol.kpts, precision, kpts_bra=kb)
+        exxb["madelung"] = None
+        K = eng._k(dm, {"exx": exxb, "wk": theta["wk"], "ovlp": S})
+        mad = theta.get("exx", {}).get("madelung")
+        if mad is not None:
+            mesh = np.asarray(sol.kpts)
+            for b in range(len(kb)):
+                hits = np.where(
+                    np.all(np.abs(mesh - kb[b]) < 1e-9, axis=1))[0]
+                if len(hits):
+                    mk = int(hits[0])
+                    corr = mad * jnp.einsum(
+                        "ij,...jl,lm->...im", S[b], dm[..., mk, :, :], S[b])
+                    K = K.at[..., b, :, :].add(corr)
+        f = f - (eng.hyb if eng.polarized else 0.5 * eng.hyb) * K
+
+    ws, vs = jnp.linalg.eigh(S)
+    keep = ws > 1e-9 * ws[:, -1:]
+    inv_sqrt = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, ws, 1.0)),
+                         0.0)
+    X = vs * inv_sqrt[:, None, :]
+    fp = jnp.einsum("kim,...kij,kjn->...kmn", jnp.conj(X), f, X)
+    pin = jnp.where(keep, 0.0, LARGE).astype(fp.dtype)
+    eye = jnp.eye(pin.shape[-1], dtype=fp.dtype)
+    fp = fp + pin[:, :, None] * eye[None]
+    return jnp.linalg.eigvalsh(fp)

@@ -304,3 +304,37 @@ def test_kpoint_mgga_supercell_invariant():
              basis="sto-3g")
     e_sc = float(dqc_tpu.KS(s2, xc="mgga_x_scan").run().energy())
     assert abs(e_k - e_sc / 2) < 1e-6
+
+
+def test_band_energies_consistency():
+    """Band energies at the mesh k-points reproduce the eigenvalues of
+    the converged SCF Fock (exercises the rebuilt band Hamiltonian: core,
+    G-space J, V_xc assembly at band k, and for HF the rectangular
+    band x mesh exchange stack + matched-point Madelung correction)."""
+    import jax.numpy as jnp
+    import dqc_tpu
+    from dqc_tpu.scf.kpbc import band_energies
+    from dqc_tpu.scf.orth import LARGE
+
+    def fock_eigs(qc):
+        eng, th, dm = qc.engine, qc._theta, qc._dm
+        f = eng.fock(dm, th)
+        X, keep = th["X"], th["keep"]
+        fp = jnp.einsum("kim,...kij,kjn->...kmn", jnp.conj(X), f, X)
+        pin = jnp.where(keep, 0.0, LARGE).astype(fp.dtype)
+        fp = fp + pin[:, :, None] * jnp.eye(pin.shape[-1],
+                                            dtype=fp.dtype)[None]
+        return np.asarray(jnp.linalg.eigvalsh(fp))
+
+    a = 3.0
+    kpts = np.array([[0.0, 0.0, 0.0], [np.pi / a, 0.0, 0.0]])
+    s = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", kpts=kpts)
+    qc = dqc_tpu.KS(s, xc="lda_x").run()
+    assert np.abs(np.asarray(band_energies(qc, kpts))
+                  - fock_eigs(qc)).max() < 1e-10
+    # an off-mesh band point evaluates without error
+    mid = np.asarray(band_energies(qc, np.array([[0.5 * np.pi / a, 0, 0]])))
+    assert np.isfinite(mid).all()
+    qh = dqc_tpu.HF(s).run()
+    assert np.abs(np.asarray(band_energies(qh, kpts))
+                  - fock_eigs(qh)).max() < 1e-10
