@@ -36,7 +36,9 @@ def eval_ao(meta: BasisMeta, params, coords, deriv: int = 0):
     """
     ng = coords.shape[0]
     nao = meta.nao
-    pos = params["atompos"]
+    # jnp-coerce: a raw numpy atompos would route the class gather through
+    # numpy fancy indexing, which rejects jax index arrays under tracing
+    pos = jnp.asarray(params["atompos"])
     blocks = {"ao": [], "ao_grad": [], "ao_lapl": []}
     col_idx = []
     for ci, cls in enumerate(meta.classes):
