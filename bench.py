@@ -78,12 +78,25 @@ def main():
         e2 = float(solve(theta))
         t_steady = time.time() - t0
 
+    # correctness gate: CPU f64 references for this exact geometry/grid
+    # (computed with this code on JAX-CPU; LAPACK-backed). A benchmark
+    # number with a wrong energy is meaningless, so flag it.
+    expected = {"def2-svp": -232.08569288579355,
+                "3-21g": -230.97607923883257}
+    ref = expected.get(basis)
+    energy_ok = (abs(e - ref) < 1e-4) if ref is not None else None
+    if energy_ok is False:
+        import sys
+        print(f"WARNING: energy {e} differs from CPU reference {ref}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "benzene_b3lyp_scf_seconds",
         "value": round(t_steady, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_CPU_SECONDS / max(t_steady, 1e-9), 2),
         "extra": {"energy_ha": e, "basis": basis,
+                  "energy_ok": energy_ok,
                   "first_call_seconds": round(t_first, 3),
                   "nao": mol.meta.nao},
     }))

@@ -509,6 +509,30 @@ class SCF_QCCalc:
             theta["eri_k"] = fn(theta_blocks(theta, jkm))
             log(f"theta[eri_k] expanded in "
                 f"{_time.perf_counter() - _t0:.1f}s")
+            # integrity probe: the expanded exchange-layout tensor must
+            # reproduce the blocks-path K at a random symmetric density
+            # (guards against backend miscompiles of the big f64
+            # scatter/transpose program). On mismatch fall back to the
+            # blocks path for K.
+            from .jk import jk_from_blocks
+            nao = self.mol.meta.nao
+            rng = np.random.default_rng(0)
+            probe = rng.standard_normal((nao, nao))
+            probe = jnp.asarray(probe + probe.T)
+            k1 = jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe)
+            _, k2 = jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm),
+                                   probe, want_j=False, want_k=True)
+            rel = float(jnp.abs(k1 - k2).max() /
+                        jnp.maximum(jnp.abs(k2).max(), 1e-300))
+            if rel > 1e-10:
+                import warnings as _warnings
+                _warnings.warn(
+                    f"exchange-layout ERI expansion failed its integrity "
+                    f"probe (rel err {rel:.2e}); falling back to the "
+                    f"blocks-path K build")
+                del theta["eri_k"]
+            else:
+                log(f"theta[eri_k] probe ok (rel {rel:.1e})")
         return theta
 
     def _all_params(self, with_fields: bool = True):

@@ -116,10 +116,15 @@ class Mol:
     @property
     def cache_signature(self) -> str:
         import hashlib
-        pos = np.asarray(self.atompos).tobytes()
+        # round before hashing: device round-trips (TPU f64 emulation) can
+        # perturb the last ulp between processes, which must not change
+        # the signature
+        pos = np.round(np.asarray(self.atompos, dtype=np.float64),
+                       10).tobytes()
         zs = np.asarray(self.zs_int).tobytes()
-        shells = str([(b.angmom, list(map(float, b.alphas)),
-                       list(map(float, b.coeffs)))
+        shells = str([(b.angmom,
+                       ["%.10e" % float(a) for a in np.asarray(b.alphas)],
+                       ["%.10e" % float(c) for c in np.asarray(b.coeffs)])
                       for ab in self.atombases for b in ab.bases])
         h = hashlib.sha256(pos + zs + shells.encode()).hexdigest()[:16]
         # v2: ao_grad grid tables stored as (3, ng, nao) — layout change

@@ -89,9 +89,13 @@ class Sol:
     @property
     def cache_signature(self) -> str:
         import hashlib
-        pos = np.asarray(self.atompos).tobytes()
+        # rounded before hashing (see Mol.cache_signature: TPU f64 device
+        # round-trips can perturb the last ulp between processes)
+        pos = np.round(np.asarray(self.atompos, dtype=np.float64),
+                       10).tobytes()
         zs = np.asarray(self.zs_int).tobytes()
-        lat = np.asarray(self.lattice.lattice_vectors()).tobytes()
+        lat = np.round(np.asarray(self.lattice.lattice_vectors(),
+                                  dtype=np.float64), 10).tobytes()
         h = hashlib.sha256(pos + zs + lat).hexdigest()[:16]
         return f"sol-{h}-grid{self.grid_level}-s{self.spin}"
 
