@@ -263,6 +263,33 @@ def expand_k_tensor(meta: BasisMeta, jk_meta, blocks):
     return out
 
 
+def expand_k_tensor_host(meta: BasisMeta, jk_meta, blocks):
+    """Host-numpy twin of expand_k_tensor: identical math via np.add.at +
+    transpose-adds. Used as the recovery path when the device expansion
+    fails its integrity probe (backend scatter/transpose miscompiles) —
+    numpy is the trusted oracle."""
+    nao = meta.nao
+    out = np.zeros((nao, nao, nao, nao),
+                   dtype=np.asarray(blocks[0]).dtype)
+    for ci, (gi, gj) in enumerate(jk_combos(jk_meta)):
+        ip, iq = jk_meta[gi], jk_meta[gj]
+        sa, sb = ip["sa"], ip["sb"]
+        sc, sd = iq["sa"], iq["sb"]
+        ra = np.asarray(ip["row0"])[:, None] + np.arange(sa)
+        rb = np.asarray(ip["col0"])[:, None] + np.arange(sb)
+        rc = np.asarray(iq["row0"])[:, None] + np.arange(sc)
+        rd = np.asarray(iq["col0"])[:, None] + np.arange(sd)
+        np.add.at(out, (ra[:, :, None, None, None, None],
+                        rc[None, None, None, :, :, None],
+                        rb[:, None, :, None, None, None],
+                        rd[None, None, None, :, None, :]),
+                  np.asarray(blocks[ci]))
+    out = out + out.transpose(2, 1, 0, 3)
+    out = out + out.transpose(0, 3, 2, 1)
+    out = out + out.transpose(1, 0, 3, 2)
+    return out
+
+
 def theta_blocks(theta, jk_meta):
     """Ordered block list from the per-combo theta entries ("jkb{i}" —
     one theta part/disk-cache entry per combo, scf/qccalc._blocked_jk_parts)."""

@@ -512,25 +512,47 @@ class SCF_QCCalc:
             # integrity probe: the expanded exchange-layout tensor must
             # reproduce the blocks-path K at a random symmetric density
             # (guards against backend miscompiles of the big f64
-            # scatter/transpose program). On mismatch fall back to the
-            # blocks path for K.
+            # scatter/transpose program). On mismatch escalate to the
+            # host-numpy expansion (trusted oracle); as a last resort drop
+            # eri_k and use the blocks path for K.
+            import warnings as _warnings
             from .jk import jk_from_blocks
             nao = self.mol.meta.nao
             rng = np.random.default_rng(0)
-            probe = rng.standard_normal((nao, nao))
-            probe = jnp.asarray(probe + probe.T)
+            probe_np = rng.standard_normal((nao, nao))
+            probe_np = probe_np + probe_np.T
+            probe = jnp.asarray(probe_np)
             k1 = jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe)
             _, k2 = jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm),
                                    probe, want_j=False, want_k=True)
             rel = float(jnp.abs(k1 - k2).max() /
                         jnp.maximum(jnp.abs(k2).max(), 1e-300))
             if rel > 1e-10:
-                import warnings as _warnings
+                from .jk import expand_k_tensor_host
+                g_host = expand_k_tensor_host(
+                    bmeta, jkm, [np.asarray(b) for b in
+                                 theta_blocks(theta, jkm)])
+                k_ref = np.einsum("ijkl,kl->ij", g_host, probe_np)
+                scale = max(np.abs(k_ref).max(), 1e-300)
+                e_dev = float(np.abs(np.asarray(k1) - k_ref).max() / scale)
+                e_blk = float(np.abs(np.asarray(k2) - k_ref).max() / scale)
+                theta["eri_k"] = jnp.asarray(g_host)
+                k3 = jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe)
+                e_hst = float(np.abs(np.asarray(k3) - k_ref).max() / scale)
                 _warnings.warn(
-                    f"exchange-layout ERI expansion failed its integrity "
-                    f"probe (rel err {rel:.2e}); falling back to the "
-                    f"blocks-path K build")
-                del theta["eri_k"]
+                    f"exchange-layout ERI device expansion failed its "
+                    f"integrity probe (dev-expand err {e_dev:.2e}, blocks "
+                    f"err {e_blk:.2e}, host-expand err {e_hst:.2e} vs the "
+                    f"host oracle)")
+                if e_hst > 1e-10:
+                    # even the host-expanded tensor contracts wrongly on
+                    # this backend: the einsum itself is suspect
+                    del theta["eri_k"]
+                    if e_blk > 1e-10:
+                        _warnings.warn(
+                            "blocks-path K also disagrees with the host "
+                            "oracle — J/K results on this backend are "
+                            "untrustworthy")
             else:
                 log(f"theta[eri_k] probe ok (rel {rel:.1e})")
         return theta

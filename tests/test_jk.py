@@ -106,6 +106,10 @@ def test_expand_k_tensor_matches_dense():
               for ci in range(len(jk_combos(jkm)))]
     GK = np.asarray(expand_k_tensor(meta, jkm, blocks))
     np.testing.assert_allclose(GK, G.transpose(0, 2, 1, 3), atol=1e-11)
+    # the host-numpy twin (integrity-probe recovery path) is identical
+    from dqc_tpu.scf.jk import expand_k_tensor_host
+    GK_h = expand_k_tensor_host(meta, jkm, [np.asarray(b) for b in blocks])
+    np.testing.assert_allclose(GK_h, GK, atol=1e-12)
 
 
 def test_host_loop_blocked_jk_matches_dense():
