@@ -398,7 +398,11 @@ def band_energies(qc, kpts_band):
     ignored. Hybrid exxdiv: the Madelung G=0 correction applies at band
     k-points that coincide with mesh k-points (the standard get_bands
     convention; isolated band points between mesh points carry no
-    correction term)."""
+    correction term). For hybrids/HF the exchange at OFF-mesh band k is
+    a finite-mesh sample of an integrable 1/q^2 singularity: band points
+    near (but not on) a mesh point overweight the small-q term, so hybrid
+    band lines need a denser SCF k-mesh to be smooth — pure functionals
+    are unaffected."""
     eng = qc.engine
     if not isinstance(eng, KPBCEngine):
         raise TypeError(

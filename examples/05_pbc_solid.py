@@ -40,3 +40,17 @@ sol_k = dqc_tpu.Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g",
                     grid="sg2", kpts=kpts)
 qc_k = dqc_tpu.KS(sol_k, xc="gga_x_pbe").run()
 print("He sc PBE, 2 k-points:", float(qc_k.energy()))
+
+# --- periodic hybrids / HF at k-points + band structure -----------------
+# Both beyond the reference, whose PBC exact exchange is NotImplemented
+# (hcgto_pbc.py:183-185) and which has no band API.
+qc_hf = dqc_tpu.HF(sol_k).run()
+print("He sc HF, 2 k-points:", float(qc_hf.energy()))
+
+# band structure along Gamma-X from the converged PBE Hamiltonian
+# (for hybrids/HF, off-mesh band exchange carries the usual finite-mesh
+# 1/q^2 sampling error — use a denser SCF mesh for smooth hybrid bands)
+kline = np.stack([np.linspace(0, np.pi / a, 5),
+                  np.zeros(5), np.zeros(5)], axis=1)
+bands = dqc_tpu.band_energies(qc_k, kline)   # (5, nao) eigenvalues (Ha)
+print("lowest band along Gamma-X:", np.asarray(bands)[:, 0])
