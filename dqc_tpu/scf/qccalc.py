@@ -475,10 +475,11 @@ class SCF_QCCalc:
         if cache_fname is not None:
             from ..utils.cache import Cache
             cache = Cache(cache_fname, signature=self.mol.cache_signature)
+        pnames = getattr(self.mol, "_cache_paramnames", None)
         theta = {}
         for name, fn in parts.items():
             _t0 = _time.perf_counter()
-            if cache is None:
+            if cache is None or (pnames is not None and name not in pnames):
                 theta.update(jax.jit(fn)(params))
                 log(f"theta[{name}] built in "
                     f"{_time.perf_counter() - _t0:.1f}s")

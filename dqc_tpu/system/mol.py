@@ -107,10 +107,14 @@ class Mol:
         self._grid = None
         self._cache_fname: Optional[str] = None
 
-    def set_cache(self, fname: str):
+    def set_cache(self, fname: str, paramnames=None):
         """Cache expensive theta tensors (integrals, grid tables) on disk,
-        keyed by a system signature (parity: reference mol.py:217-244)."""
+        keyed by a system signature (parity: reference mol.py:217-244).
+        paramnames optionally restricts caching to the named theta parts
+        (e.g. ["core", "grid"]); None caches everything."""
         self._cache_fname = fname
+        self._cache_paramnames = (None if paramnames is None
+                                  else list(paramnames))
         return self
 
     @property

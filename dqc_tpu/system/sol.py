@@ -82,8 +82,10 @@ class Sol:
                                        self.lattice)
         return self._grid
 
-    def set_cache(self, fname: str):
+    def set_cache(self, fname: str, paramnames=None):
         self._cache_fname = fname
+        self._cache_paramnames = (None if paramnames is None
+                                  else list(paramnames))
         return self
 
     @property
