@@ -15,32 +15,39 @@ Implementation notes:
     remote TPU AOT compiler handles the smaller modules far better, and
     reruns skip the integral build entirely.
   - basis size is configurable via BENCH_BASIS; the default is def2-svp —
-    the BASELINE.json headline config (streaming direct-SCF J/K + RI warm
-    phases + dual-level exact polish in the host-driven DIIS).
+    the BASELINE.json headline config.
+  - correctness gate: the energy is checked against a CPU f64 reference
+    computed with this same code (LAPACK-backed). On mismatch the bench
+    retries in progressively safer exchange-build modes (blocks-only K,
+    then streaming direct-SCF) and reports the fastest CORRECT mode —
+    a wrong-energy timing is meaningless.
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_CPU_SECONDS = 120.0
 
+# CPU f64 references for the exact bench geometry/grid (this code, JAX-CPU)
+EXPECTED = {"def2-svp": -232.08569288579355,
+            "3-21g": -230.97607923883257}
 
-def main():
+
+def run_once(basis, cache_dir):
+    """Build the system in the CURRENT mode-limit configuration, run one
+    full SCF (+theta build/cache), then time a steady-state solve."""
     import jax
-    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
     import dqc_tpu as dq
     from __graft_entry__ import _benzene_mol
 
-    basis = os.environ.get("BENCH_BASIS", "def2-svp")
     mol = _benzene_mol(basis=basis)
     if os.environ.get("BENCH_DF"):
-        # RI-J/RI-K mode (the reference's own wall-clock harness is DF:
-        # dqc/test/benchmark.py vitamin-C LDA/DF)
         mol = mol.densityfit()
-    mol.set_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               f".bench_theta_{basis}.npz"))
+    mol.set_cache(os.path.join(cache_dir, f".bench_theta_{basis}.npz"))
     qc = dq.KS(mol, xc="b3lyp")
 
     t0 = time.time()
@@ -48,15 +55,10 @@ def main():
     e = float(qc.energy())
     t_first = time.time() - t0
 
-    # steady-state: the SCF solve on in-memory theta (the number a
-    # production loop over geometries would see per point). Large systems
-    # use the host-driven DIIS (one compiled iteration); small ones the
-    # all-device while_loop program.
-    import jax.numpy as jnp
     theta = qc._theta
     nao = mol.meta.nao
     if nao >= qc.HOST_LOOP_NAO:
-        efn = jax.jit(qc.engine.energy_from_parts)  # one jit: reused below
+        efn = jax.jit(qc.engine.energy_from_parts)
 
         def solve_e(th):
             dm = qc._host_solve(th)
@@ -66,39 +68,61 @@ def main():
             else:
                 j, k = qc._jk_call()(dm, th)
             return float(efn(dm, j, k, th))
-        e2 = solve_e(theta)
+
+        solve_e(theta)
         t0 = time.time()
-        e2 = solve_e(theta)
+        solve_e(theta)
         t_steady = time.time() - t0
     else:
         dm0 = jnp.zeros((nao, nao))
         solve = jax.jit(lambda th: qc.engine.energy(qc._solver(th, dm0), th))
-        e2 = float(solve(theta))  # compile
+        float(solve(theta))  # compile
         t0 = time.time()
-        e2 = float(solve(theta))
+        float(solve(theta))
         t_steady = time.time() - t0
+    return e, t_first, t_steady, nao
 
-    # correctness gate: CPU f64 references for this exact geometry/grid
-    # (computed with this code on JAX-CPU; LAPACK-backed). A benchmark
-    # number with a wrong energy is meaningless, so flag it.
-    expected = {"def2-svp": -232.08569288579355,
-                "3-21g": -230.97607923883257}
-    ref = expected.get(basis)
-    energy_ok = (abs(e - ref) < 1e-4) if ref is not None else None
-    if energy_ok is False:
-        import sys
-        print(f"WARNING: energy {e} differs from CPU reference {ref}",
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from dqc_tpu.scf import qccalc as qmod
+
+    basis = os.environ.get("BENCH_BASIS", "def2-svp")
+    cache_dir = os.path.dirname(os.path.abspath(__file__))
+    ref = EXPECTED.get(basis)
+
+    # mode ladder: fastest first; fall back until the energy checks out
+    attempts = [
+        ("default", {}),
+        ("blocks-k", {"EXPAND_K_BYTES_LIMIT": 0}),
+        ("stream", {"EXPAND_K_BYTES_LIMIT": 0, "BLOCKED_JK_BYTES_LIMIT": 0}),
+    ]
+    saved = {k: getattr(qmod, k) for k in
+             ("EXPAND_K_BYTES_LIMIT", "BLOCKED_JK_BYTES_LIMIT")}
+    result = None
+    for tag, overrides in attempts:
+        for k, v in saved.items():
+            setattr(qmod, k, overrides.get(k, v))
+        e, t_first, t_steady, nao = run_once(basis, cache_dir)
+        ok = (abs(e - ref) < 1e-4) if ref is not None else None
+        result = (tag, e, t_first, t_steady, nao, ok)
+        if ok is not False:
+            break
+        print(f"WARNING: mode '{tag}' energy {e} differs from CPU "
+              f"reference {ref}; retrying in a safer exchange mode",
               file=sys.stderr)
 
+    tag, e, t_first, t_steady, nao, ok = result
     print(json.dumps({
         "metric": "benzene_b3lyp_scf_seconds",
         "value": round(t_steady, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_CPU_SECONDS / max(t_steady, 1e-9), 2),
         "extra": {"energy_ha": e, "basis": basis,
-                  "energy_ok": energy_ok,
+                  "energy_ok": ok, "mode": tag,
                   "first_call_seconds": round(t_first, 3),
-                  "nao": mol.meta.nao},
+                  "nao": nao},
     }))
 
 
