@@ -48,7 +48,8 @@ def __getattr__(name):
         from .xc import getxc
         return getattr(getxc, name)
     if name in ("hessian_pos", "vibration", "ir_spectrum", "raman_spectrum",
-                "edipole", "equadrupole", "optimal_geometry", "is_orb_min",
+                "edipole", "equadrupole", "polarizability",
+                "optimal_geometry", "is_orb_min",
                 "lowest_eival_orb_hessian"):
         from .api import properties
         return getattr(properties, name)

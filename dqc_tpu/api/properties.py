@@ -21,7 +21,7 @@ from ..utils.periodictable import get_atom_mass
 from ..utils.units import FREQ_AU_TO_CM1
 
 __all__ = ["hessian_pos", "vibration", "ir_spectrum", "raman_spectrum",
-           "edipole", "equadrupole", "optimal_geometry",
+           "edipole", "equadrupole", "polarizability", "optimal_geometry",
            "lowest_eival_orb_hessian", "is_orb_min"]
 
 
@@ -105,6 +105,27 @@ def edipole(qc, unit: str = "a.u."):
     mu = mu_elec + mu_nuc
     from ..utils.units import AU_TO_DEBYE
     return mu * AU_TO_DEBYE if unit.lower() == "debye" else mu
+
+
+def polarizability(qc, unit: str = "a.u."):
+    """Static electric dipole polarizability alpha = -d^2 E / defield^2,
+    (3, 3) in a.u. (angst^3 with unit="angst^3"). Exact second derivative
+    through the SCF fixed point — the same tensor raman_spectrum
+    differentiates once more (beyond the reference, which exposes no
+    polarizability API)."""
+    p0 = _params(qc)
+
+    def fn(ef):
+        p = jax.tree_util.tree_map(lambda x: x, p0)
+        p["efield"] = ef
+        return _efn(qc)(p)
+    alpha = -jax.hessian(fn)(p0["efield"])
+    if unit.lower() in ("angst^3", "angstrom^3"):
+        from ..utils.units import BOHR_TO_ANGSTROM
+        alpha = alpha * BOHR_TO_ANGSTROM ** 3
+    elif unit.lower() != "a.u.":
+        raise ValueError(f"unknown polarizability unit {unit!r}")
+    return alpha
 
 
 def equadrupole(qc, unit: str = "a.u."):

@@ -75,3 +75,26 @@ def test_equadrupole_h2o(h2o_qc):
     np.testing.assert_allclose(q, q.T, atol=1e-7)
     expect = np.diag([-6.838, -3.972, -5.882])
     np.testing.assert_allclose(q, expect, rtol=2e-4, atol=1e-3)
+
+
+def test_polarizability_vs_fd_dipole(h2o_qc):
+    """alpha = -d2E/dE^2 (exact AD through the SCF) equals the finite
+    difference of the dipole w.r.t. the applied field, and is symmetric."""
+    from dqc_tpu.api.properties import polarizability
+    alpha = np.asarray(polarizability(h2o_qc))
+    np.testing.assert_allclose(alpha, alpha.T, atol=1e-8)
+    qc = h2o_qc
+    p0 = qc._all_params()
+    h = 2e-4
+
+    def mu_at(ef):
+        p = jax.tree_util.tree_map(lambda x: x, p0)
+        p["efield"] = jnp.asarray(ef)
+        g = jax.grad(qc.energy_fn)(p)
+        return -np.asarray(g["efield"])
+
+    for d in range(3):
+        ef = np.zeros(3)
+        ef[d] = h
+        fd_col = (mu_at(ef) - mu_at(-ef)) / (2 * h)
+        np.testing.assert_allclose(alpha[:, d], fd_col, atol=5e-6)
