@@ -42,6 +42,10 @@ class SCFOptions(NamedTuple):
     # term: "ewald" = probe-charge Madelung correction (K += M * S dm S),
     # None = plain truncation. Ignored for molecular systems.
     exxdiv: str = "ewald"
+    # initial guess for the host-driven DIIS: "sad" = superposition of
+    # spherically-averaged atomic LDA densities (beyond the reference's
+    # core guess), "gwh" = generalized Wolfsberg-Helmholtz Fock.
+    guess: str = "sad"
 
 
 def _flat(x):
