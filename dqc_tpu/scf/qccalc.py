@@ -532,52 +532,75 @@ class SCF_QCCalc:
             theta["eri_k"] = fn(theta_blocks(theta, jkm))
             log(f"theta[eri_k] expanded in "
                 f"{_time.perf_counter() - _t0:.1f}s")
-            # integrity probe: the expanded exchange-layout tensor must
-            # reproduce the blocks-path K at a random symmetric density
-            # (guards against backend miscompiles of the big f64
-            # scatter/transpose program). On mismatch escalate to the
-            # host-numpy expansion (trusted oracle); as a last resort drop
-            # eri_k and use the blocks path for K.
+            # integrity probes: guard against backend miscompiles of the
+            # large f64 scatter/transpose/contraction programs. Two device
+            # paths agreeing does not prove either is right, so a
+            # host-numpy oracle (expand_k_tensor_host) arbitrates whenever
+            # the nao^4 tensor is host-affordable; J from the blocks is
+            # checked against the same oracle (warn-only: the bench/energy
+            # gate rejects the mode if J is bad).
             import warnings as _warnings
-            from .jk import jk_from_blocks
+            from .jk import expand_k_tensor_host, jk_from_blocks
             nao = self.mol.meta.nao
             rng = np.random.default_rng(0)
             probe_np = rng.standard_normal((nao, nao))
             probe_np = probe_np + probe_np.T
             probe = jnp.asarray(probe_np)
-            k1 = jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe)
-            _, k2 = jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm),
-                                   probe, want_j=False, want_k=True)
-            rel = float(jnp.abs(k1 - k2).max() /
-                        jnp.maximum(jnp.abs(k2).max(), 1e-300))
-            if rel > 1e-10:
-                from .jk import expand_k_tensor_host
-                g_host = expand_k_tensor_host(
-                    bmeta, jkm, [np.asarray(b) for b in
-                                 theta_blocks(theta, jkm)])
-                k_ref = np.einsum("ijkl,kl->ij", g_host, probe_np)
-                scale = max(np.abs(k_ref).max(), 1e-300)
-                e_dev = float(np.abs(np.asarray(k1) - k_ref).max() / scale)
-                e_blk = float(np.abs(np.asarray(k2) - k_ref).max() / scale)
-                theta["eri_k"] = jnp.asarray(g_host)
-                k3 = jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe)
-                e_hst = float(np.abs(np.asarray(k3) - k_ref).max() / scale)
+            k_dev = np.asarray(
+                jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe))
+            j_blk, k_blk = jk_from_blocks(
+                bmeta, jkm, theta_blocks(theta, jkm), probe,
+                want_j=True, want_k=True)
+            j_blk, k_blk = np.asarray(j_blk), np.asarray(k_blk)
+            rel = (np.abs(k_dev - k_blk).max()
+                   / max(np.abs(k_blk).max(), 1e-300))
+            if nao ** 4 * 8 > 4 * 1024 ** 3:
+                # too large for the host oracle: relative check only
+                if rel > 1e-10:
+                    _warnings.warn(
+                        f"exchange-layout ERI expansion disagrees with "
+                        f"the blocks-path K (rel {rel:.2e}); falling back "
+                        f"to the blocks path")
+                    del theta["eri_k"]
+                else:
+                    log(f"theta[eri_k] probe ok (paths rel {rel:.1e})")
+                return theta
+            g_host = expand_k_tensor_host(
+                bmeta, jkm, [np.asarray(b) for b in
+                             theta_blocks(theta, jkm)])
+            k_ref = np.einsum("ijkl,kl->ij", g_host, probe_np)
+            scale_k = max(np.abs(k_ref).max(), 1e-300)
+            e_dev = np.abs(k_dev - k_ref).max() / scale_k
+            e_blk = np.abs(k_blk - k_ref).max() / scale_k
+            # exchange layout G_K[a,c,b,d] = (ab|cd): J_ij = G_K[i,k,j,l] D_kl
+            j_ref = np.einsum("ikjl,kl->ij", g_host, probe_np)
+            e_j = (np.abs(j_blk - j_ref).max()
+                   / max(np.abs(j_ref).max(), 1e-300))
+            if e_j > 1e-10:
                 _warnings.warn(
-                    f"exchange-layout ERI device expansion failed its "
-                    f"integrity probe (dev-expand err {e_dev:.2e}, blocks "
-                    f"err {e_blk:.2e}, host-expand err {e_hst:.2e} vs the "
-                    f"host oracle)")
+                    f"blocked J contraction disagrees with the host "
+                    f"oracle (rel {e_j:.2e}) — Coulomb builds on this "
+                    f"backend are suspect")
+            if e_dev > 1e-10:
+                theta["eri_k"] = jnp.asarray(g_host)
+                k3 = np.asarray(
+                    jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe))
+                e_hst = np.abs(k3 - k_ref).max() / scale_k
+                _warnings.warn(
+                    f"device-expanded exchange ERI failed the host oracle "
+                    f"(dev {e_dev:.2e}, blocks {e_blk:.2e}, host-expanded "
+                    f"{e_hst:.2e}); "
+                    + ("using the host-expanded tensor" if e_hst <= 1e-10
+                       else "dropping eri_k"))
                 if e_hst > 1e-10:
-                    # even the host-expanded tensor contracts wrongly on
-                    # this backend: the einsum itself is suspect
                     del theta["eri_k"]
                     if e_blk > 1e-10:
                         _warnings.warn(
                             "blocks-path K also disagrees with the host "
-                            "oracle — J/K results on this backend are "
+                            "oracle — exchange on this backend is "
                             "untrustworthy")
             else:
-                log(f"theta[eri_k] probe ok (rel {rel:.1e})")
+                log(f"theta[eri_k] probe ok (oracle rel {e_dev:.1e})")
         return theta
 
     def _all_params(self, with_fields: bool = True):
