@@ -84,4 +84,33 @@ void quartet_scatter_indices(const int64_t* idx_ab, int64_t np1, int64_t nab,
     }
 }
 
+// dst = src + src.transpose(axes) for an (n,n,n,n) f64 tensor, where axes
+// is one of the involutive s8 generators. numpy's strided ND-iterator runs
+// this at ~5 MB/s at n~100 (244 s per pass at n=114); the blocked loops
+// below run at memory speed (~1 s). Valid for any involution axes.
+void transpose_add_4d(const double* src, double* dst, int64_t n,
+                      const int32_t* axes) {
+  const int64_t s[4] = {n * n * n, n * n, n, 1};
+  const int64_t sp[4] = {s[axes[0]], s[axes[1]], s[axes[2]], s[axes[3]]};
+  const int64_t B = 16;
+  for (int64_t a0 = 0; a0 < n; a0 += B)
+    for (int64_t b0 = 0; b0 < n; b0 += B)
+      for (int64_t c0 = 0; c0 < n; c0 += B)
+        for (int64_t d0 = 0; d0 < n; d0 += B) {
+          const int64_t a1 = a0 + B < n ? a0 + B : n;
+          const int64_t b1 = b0 + B < n ? b0 + B : n;
+          const int64_t c1 = c0 + B < n ? c0 + B : n;
+          const int64_t d1 = d0 + B < n ? d0 + B : n;
+          for (int64_t a = a0; a < a1; ++a)
+            for (int64_t b = b0; b < b1; ++b)
+              for (int64_t c = c0; c < c1; ++c) {
+                const int64_t dbase = ((a * n + b) * n + c) * n;
+                const int64_t gbase = a * sp[0] + b * sp[1] + c * sp[2];
+                for (int64_t d = d0; d < d1; ++d)
+                  dst[dbase + d] = src[dbase + d] + src[gbase + d * sp[3]];
+              }
+        }
+}
+
 }  // extern "C"
+

@@ -264,26 +264,32 @@ def expand_k_tensor(meta: BasisMeta, jk_meta, blocks):
 
 
 def expand_k_tensor_host(meta: BasisMeta, jk_meta, blocks):
-    """Host-numpy twin of expand_k_tensor: identical math via np.add.at +
-    transpose-adds. Used as the recovery path when the device expansion
-    fails its integrity probe (backend scatter/transpose miscompiles) —
-    numpy is the trusted oracle."""
+    """Host-numpy twin of expand_k_tensor (trusted oracle / recovery path
+    when the device expansion fails its integrity probe). The canonical
+    quartet targets are disjoint across pairs and combos, so the scatter
+    is a flat fancy *assignment* (np.add.at is ~30x slower here)."""
     nao = meta.nao
     out = np.zeros((nao, nao, nao, nao),
                    dtype=np.asarray(blocks[0]).dtype)
+    flat = out.reshape(-1)
     for ci, (gi, gj) in enumerate(jk_combos(jk_meta)):
         ip, iq = jk_meta[gi], jk_meta[gj]
         sa, sb = ip["sa"], ip["sb"]
         sc, sd = iq["sa"], iq["sb"]
-        ra = np.asarray(ip["row0"])[:, None] + np.arange(sa)
-        rb = np.asarray(ip["col0"])[:, None] + np.arange(sb)
-        rc = np.asarray(iq["row0"])[:, None] + np.arange(sc)
-        rd = np.asarray(iq["col0"])[:, None] + np.arange(sd)
-        np.add.at(out, (ra[:, :, None, None, None, None],
-                        rc[None, None, None, :, :, None],
-                        rb[:, None, :, None, None, None],
-                        rd[None, None, None, :, None, :]),
-                  np.asarray(blocks[ci]))
+        ra = (np.asarray(ip["row0"])[:, None]
+              + np.arange(sa)).astype(np.int64)
+        rb = (np.asarray(ip["col0"])[:, None]
+              + np.arange(sb)).astype(np.int64)
+        rc = (np.asarray(iq["row0"])[:, None]
+              + np.arange(sc)).astype(np.int64)
+        rd = (np.asarray(iq["col0"])[:, None]
+              + np.arange(sd)).astype(np.int64)
+        A = ra[:, :, None, None, None, None]
+        C = rc[None, None, None, :, :, None]
+        B = rb[:, None, :, None, None, None]
+        D = rd[None, None, None, :, None, :]
+        idx = ((A * nao + C) * nao + B) * nao + D
+        flat[idx.ravel()] += np.asarray(blocks[ci]).ravel()
     out = out + out.transpose(2, 1, 0, 3)
     out = out + out.transpose(0, 3, 2, 1)
     out = out + out.transpose(1, 0, 3, 2)

@@ -554,8 +554,13 @@ class SCF_QCCalc:
             j_blk, k_blk = np.asarray(j_blk), np.asarray(k_blk)
             rel = (np.abs(k_dev - k_blk).max()
                    / max(np.abs(k_blk).max(), 1e-300))
-            if nao ** 4 * 8 > 4 * 1024 ** 3:
-                # too large for the host oracle: relative check only
+            # the absolute host oracle costs ~100 s/GB of first-touch page
+            # faults on this class of VM (see bench.py's malloc tunables),
+            # so by default it arbitrates only when the device paths
+            # disagree; DQC_TPU_JK_ORACLE=1 (set by bench.py) forces it.
+            force_abs = os.environ.get("DQC_TPU_JK_ORACLE") == "1"
+            if nao ** 4 * 8 > 4 * 1024 ** 3 or not (rel > 1e-10
+                                                    or force_abs):
                 if rel > 1e-10:
                     _warnings.warn(
                         f"exchange-layout ERI expansion disagrees with "
