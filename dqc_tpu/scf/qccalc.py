@@ -451,7 +451,13 @@ class SCF_QCCalc:
         cache_fname = getattr(self.mol, "_cache_fname", None)
         use_host_loop = (self.mol.meta.nao >= self.HOST_LOOP_NAO
                          and self.opts.method != "variational")
-        if cache_fname is None and not use_host_loop:
+        # the exchange-layout expansion must go through _materialize_theta
+        # even uncached: its integrity probes are the only guard against
+        # the backend miscompiling the big f64 scatter/transpose program
+        # (observed on the axon TPU at def2-SVP scale — blocks path fine,
+        # device-expanded tensor rel err ~0.5, host oracle arbitrates)
+        needs_probe = getattr(self, "_expand_k_info", None) is not None
+        if cache_fname is None and not use_host_loop and not needs_probe:
             def _go(p):
                 dm, theta = self.solve_dm(p)
                 return dm, theta, self.engine.energy(dm, theta)
