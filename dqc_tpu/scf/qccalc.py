@@ -422,9 +422,30 @@ class SCF_QCCalc:
                            f"dual{outer}", iter_fn=iter_corr, patience=4)
         return best[1], best[2], best[3]
 
+    def _trusted_expand_k(self) -> bool:
+        """Whether the traced (jitted) device expand_k_tensor program can be
+        trusted on this backend. The axon TPU miscompiles the big f64
+        scatter/transpose expansion at def2-SVP scale (STATUS.md); run()'s
+        host oracle guards the forward path, but differentiable paths
+        (energy_fn/properties) trace the expansion inline where no oracle
+        can run — so they only keep it if (a) the probe already passed on
+        this calc, (b) we're on CPU, or (c) DQC_TPU_GRAD_EXPAND_K=1."""
+        ok = getattr(self, "_expand_k_device_ok", None)
+        if ok is not None:
+            return ok
+        if os.environ.get("DQC_TPU_GRAD_EXPAND_K") == "1":
+            return True
+        return jax.default_backend() == "cpu"
+
     def solve_dm(self, params):
         """params -> converged density matrix (implicit-diff aware)."""
         theta = self._build_theta(params)
+        if ("eri_k" in theta and getattr(self, "_expand_k_info", None)
+                is not None and not self._trusted_expand_k()):
+            # drop the untrusted device expansion from the traced program
+            # (dead code -> XLA eliminates it); engine falls back to the
+            # provably-correct blocks path
+            theta = {k: v for k, v in theta.items() if k != "eri_k"}
         eng = self.engine
         # core-hamiltonian ("1e") initial guess (reference scf_qccalc.py:85-93)
         if hasattr(eng, "init_dm"):
@@ -573,8 +594,10 @@ class SCF_QCCalc:
                         f"the blocks-path K (rel {rel:.2e}); falling back "
                         f"to the blocks path")
                     del theta["eri_k"]
+                    self._expand_k_device_ok = False
                 else:
                     log(f"theta[eri_k] probe ok (paths rel {rel:.1e})")
+                    self._expand_k_device_ok = True
                 return theta
             g_host = expand_k_tensor_host(
                 bmeta, jkm, [np.asarray(b) for b in
@@ -592,6 +615,7 @@ class SCF_QCCalc:
                     f"blocked J contraction disagrees with the host "
                     f"oracle (rel {e_j:.2e}) — Coulomb builds on this "
                     f"backend are suspect")
+            self._expand_k_device_ok = bool(e_dev <= 1e-10)
             if e_dev > 1e-10:
                 theta["eri_k"] = jnp.asarray(g_host)
                 k3 = np.asarray(

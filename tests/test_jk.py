@@ -112,6 +112,40 @@ def test_expand_k_tensor_matches_dense():
     np.testing.assert_allclose(GK_h, GK, atol=1e-12)
 
 
+def test_grad_path_drops_untrusted_expand_k():
+    """Differentiable paths (energy_fn via solve_dm) must not trace the
+    device expand_k_tensor program when it is untrusted: the axon TPU
+    miscompiles it at def2-SVP scale (STATUS.md) and no host oracle can
+    arbitrate inside a jitted gradient. On CPU it is trusted by default;
+    a failed probe verdict (_expand_k_device_ok=False) must force the
+    blocks-path fallback (theta without "eri_k")."""
+    import jax
+    import dqc_tpu
+    from dqc_tpu.scf import qccalc as qmod
+    desc = "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867"
+    old_limit = qmod.DENSE_ERI_BYTES_LIMIT
+    try:
+        qmod.DENSE_ERI_BYTES_LIMIT = 0          # dense off -> blocked wins
+        qc = dqc_tpu.HF(dqc_tpu.Mol(desc, basis="3-21g"))
+        assert qc._expand_k_info is not None, "expand_k mode not active"
+        params = qc._all_params()
+        # CPU default: trusted -> traced theta includes eri_k
+        assert qc._trusted_expand_k()
+        _, theta_shapes = jax.eval_shape(qc.solve_dm, params)
+        assert "eri_k" in theta_shapes
+        # failed probe verdict: untrusted -> eri_k dropped from the trace
+        qc._expand_k_device_ok = False
+        assert not qc._trusted_expand_k()
+        _, theta_shapes = jax.eval_shape(qc.solve_dm, params)
+        assert "eri_k" not in theta_shapes
+        # probe pass re-enables it
+        qc._expand_k_device_ok = True
+        _, theta_shapes = jax.eval_shape(qc.solve_dm, params)
+        assert "eri_k" in theta_shapes
+    finally:
+        qmod.DENSE_ERI_BYTES_LIMIT = old_limit
+
+
 def test_host_loop_blocked_jk_matches_dense():
     """Host-driven DIIS in blocked-JK mode (the def2-SVP-scale execution
     mode after the quartet-block cache landed) reproduces the dense-ERI
