@@ -36,7 +36,9 @@ if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None:
     env = dict(os.environ,
                MALLOC_MMAP_THRESHOLD_="17179869184",
                MALLOC_TRIM_THRESHOLD_="-1",
-               DQC_TPU_JK_ORACLE="1")
+               DQC_TPU_JK_ORACLE="1",
+               # stage progress on stderr (stdout stays the one JSON line)
+               DQC_TPU_VERBOSE=os.environ.get("DQC_TPU_VERBOSE", "1"))
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 import numpy as np

@@ -36,6 +36,16 @@ from .utils.datastruct import (                  # noqa: E402,F401
 from .system.mol import Mol                      # noqa: E402,F401
 
 
+_LAZY = ("HF", "KS", "SCF_QCCalc", "Sol", "get_xc", "get_libxc",
+         "hessian_pos", "vibration", "ir_spectrum", "raman_spectrum",
+         "edipole", "equadrupole", "polarizability", "optimal_geometry",
+         "is_orb_min", "lowest_eival_orb_hessian", "band_energies")
+
+
+def __dir__():
+    return sorted(list(globals().keys()) + list(_LAZY))
+
+
 def __getattr__(name):
     # heavier entry points loaded lazily to keep import fast
     if name in ("HF", "KS", "SCF_QCCalc"):

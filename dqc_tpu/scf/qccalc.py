@@ -546,6 +546,21 @@ class SCF_QCCalc:
                 treedef, [jnp.asarray(l) for l in leaves]))
             log(f"theta[{name}] ready in {_time.perf_counter() - _t0:.1f}s")
         exp = getattr(self, "_expand_k_info", None)
+        if exp is not None and getattr(self, "_expand_k_device_ok",
+                                       None) is False:
+            # device expansion already failed its probe on this calc:
+            # skip the wasted 1.35 GB device program and host-expand
+            # (when host-affordable; else blocks path)
+            if self.mol.meta.nao ** 4 * 8 <= 4 * 1024 ** 3:
+                from .jk import expand_k_tensor_host, theta_blocks
+                bmeta, jkm = exp
+                _t0 = _time.perf_counter()
+                theta["eri_k"] = jnp.asarray(expand_k_tensor_host(
+                    bmeta, jkm,
+                    [np.asarray(b) for b in theta_blocks(theta, jkm)]))
+                log(f"theta[eri_k] host-expanded (device expansion "
+                    f"known-bad) in {_time.perf_counter() - _t0:.1f}s")
+            return theta
         if exp is not None:
             # derived exchange-layout ERI: recomputed from the cached
             # blocks (cheap scatter+transposes), never disk-cached

@@ -137,5 +137,19 @@ def test_scf_force_blocked_jk_mode():
         fd = (e_of_pos(pos0.at[1, 0].add(h))
               - e_of_pos(pos0.at[1, 0].add(-h))) / (2 * h)
         assert abs(float(g[1, 0]) - float(fd)) < 1e-7
+
+        # untrusted-expansion fallback (the TPU gradient path after a
+        # failed expand_k probe, qccalc._trusted_expand_k): eri_k dropped
+        # from the traced program, blocks-path K — same exact force
+        qc._expand_k_device_ok = False
+
+        def e_blocks(pos):
+            p = dict(p0)
+            p["basis"] = dict(p0["basis"])
+            p["basis"]["atompos"] = pos
+            return qc.energy_fn(p)
+
+        g2 = jax.jit(jax.grad(e_blocks))(pos0)
+        assert abs(float(g2[1, 0]) - float(g[1, 0])) < 1e-10
     finally:
         qmod.DENSE_ERI_BYTES_LIMIT = old

@@ -146,6 +146,28 @@ def test_grad_path_drops_untrusted_expand_k():
         qmod.DENSE_ERI_BYTES_LIMIT = old_limit
 
 
+def test_known_bad_device_expansion_host_recovery():
+    """With the device expand_k verdict already False (as after a failed
+    probe on the axon TPU), _materialize_theta skips the device program
+    and host-expands directly — run() still converges to the correct
+    energy with the exchange-layout contraction active."""
+    import dqc_tpu
+    from dqc_tpu.scf import qccalc as qmod
+    desc = "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867"
+    e_ref = float(dqc_tpu.HF(dqc_tpu.Mol(desc, basis="3-21g")).run().energy())
+    old_limit = qmod.DENSE_ERI_BYTES_LIMIT
+    try:
+        qmod.DENSE_ERI_BYTES_LIMIT = 0          # dense off -> blocked wins
+        qc = dqc_tpu.HF(dqc_tpu.Mol(desc, basis="3-21g"))
+        assert qc._expand_k_info is not None
+        qc._expand_k_device_ok = False          # simulate failed probe
+        e = float(qc.run().energy())
+        assert "eri_k" in qc._theta, "host-expanded eri_k missing"
+    finally:
+        qmod.DENSE_ERI_BYTES_LIMIT = old_limit
+    assert abs(e - e_ref) < 1e-9, (e, e_ref)
+
+
 def test_host_loop_blocked_jk_matches_dense():
     """Host-driven DIIS in blocked-JK mode (the def2-SVP-scale execution
     mode after the quartet-block cache landed) reproduces the dense-ERI
