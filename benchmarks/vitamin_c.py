@@ -40,7 +40,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--basis", default="cc-pvdz")
     parser.add_argument("--xc", default="lda_x+lda_c_pw")
-    parser.add_argument("--grid", default=2)
+    parser.add_argument("--grid", default=2,
+                        type=lambda s: int(s) if s.lstrip("-").isdigit() else s)
     parser.add_argument("--no-densityfit", action="store_true")
     args = parser.parse_args()
 
