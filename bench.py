@@ -57,9 +57,11 @@ if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None:
 
 BASELINE_CPU_SECONDS = 120.0
 
-# CPU f64 references for the exact bench geometry/grid (this code, JAX-CPU)
-EXPECTED = {"def2-svp": -232.08569288579355,
-            "3-21g": -230.97607923883257}
+# CPU f64 references for the exact bench geometry/grid (this code, JAX-CPU;
+# recompute with tools/cpu_reference.py whenever the grid/geometry changes —
+# the Lebedev-angular grid swap moved these by ~1e-3 Ha)
+EXPECTED = {"def2-svp": -232.08457237792322,
+            "3-21g": -230.97514180642415}
 
 _T0 = time.time()
 # best-so-far measurement; guarded by _LOCK. Updated after every completed

@@ -1,12 +1,12 @@
 """Angular quadrature on the unit sphere.
 
-TPU-native design decision: instead of vendoring the 32 Lebedev tables the
-reference ships (/root/reference/dqc/datasets/lebedevquad/), we *generate*
-spherical product grids (Gauss-Legendre in cos(theta) x equispaced phi) at
-any polynomial degree. A product grid of degree L uses ~2x the points of the
-Lebedev rule of the same degree but is exactly generatable offline-first and
-any-size — a better fit for static-shape batching. The factory maps the
-reference's Lebedev precision levels to equivalent-degree product grids.
+Two rule families:
+  - Lebedev-Laikov tables (grid/lebedev.py; the same standard published
+    data the reference vendors) — ~(L+1)^2/3 points at degree L, the
+    default (fewer points = direct XC-stage savings);
+  - generated product grids (Gauss-Legendre in cos(theta) x equispaced
+    phi) — ~(L+1)^2/2 points but available at ANY degree; the fallback
+    beyond degree 131 and the DQC_TPU_ANGULAR=product escape hatch.
 """
 from __future__ import annotations
 
@@ -41,6 +41,27 @@ LEBEDEV_PRECISIONS = [3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23, 25, 27, 29, 31,
                       113, 119, 125, 131]
 
 
+def angular_rule_tag() -> str:
+    """Identifier of the active angular rule family (cache-signature
+    component: switching rules changes every grid table)."""
+    import os
+    return ("prod" if os.environ.get("DQC_TPU_ANGULAR", "").lower()
+            == "product" else "leb")
+
+
+def angular_rule(degree: int):
+    """Quadrature exact for spherical harmonics up to `degree`:
+    the vendored Lebedev rule (~(L+1)^2/3 points) by default, the
+    generated product rule (~(L+1)^2/2 points, any degree) for degrees
+    beyond the tables or when DQC_TPU_ANGULAR=product.
+
+    Returns (points (n, 3) unit vectors, weights (n,) summing to 4 pi)."""
+    if angular_rule_tag() == "leb" and degree <= 131:
+        from .lebedev import lebedev_by_degree
+        return lebedev_by_degree(int(degree))
+    return product_angular_grid(int(degree))
+
+
 def angular_grid_by_precision(prec: int):
     """Grid exact to spherical-harmonic degree >= prec."""
-    return product_angular_grid(int(prec))
+    return angular_rule(int(prec))

@@ -1,10 +1,12 @@
 """Molecular quadrature grid factory.
 
 Parity surface with the reference factory (/root/reference/dqc/grid/
-factory.py): named grids "sg2"/"sg3" and integer levels 0-9, per-element
-radial sizing (Treutler-Ahlrichs M4 transform with per-Z xi), Becke
-multi-atom stitching. Angular grids are generated product rules
-(grid/angular.py) rather than vendored Lebedev tables.
+factory.py): named grids "sg2"/"sg3" (Dasgupta scheme: uniform x DE2
+radial + per-slice Lebedev truncation tables) and integer levels 0-9
+(per-element Treutler-Ahlrichs M4 radial + NWChem-style pruning), Becke
+multi-atom stitching. Angular rules are vendored Lebedev tables by
+default with generated product rules as the any-degree fallback
+(grid/angular.py).
 
 The factory is host-side (data-dependent shapes); it emits a GridSpec of
 flat numpy arrays. Differentiable pieces (point positions, Becke weights)
@@ -17,9 +19,10 @@ from typing import List, Sequence
 
 import numpy as np
 
-from ..utils.periodictable import get_bragg_radius
-from .angular import product_angular_grid
-from .radial import TreutlerM4Transformation, radial_grid
+from ..utils.periodictable import get_bragg_radius, get_expected_radius
+from .angular import angular_rule
+from .radial import (DE2Transformation, TreutlerM4Transformation,
+                     radial_grid)
 
 # Treutler-Ahlrichs xi parameters (Treutler & Ahlrichs, JCP 102, 346 (1995)),
 # also used by the reference (factory.py:54-91).
@@ -35,6 +38,55 @@ _TREUTLER_XI = {
 _LEVELS = [(30, 9), (40, 11), (60, 17), (75, 23), (90, 29), (99, 35),
            (120, 41), (150, 47), (200, 53), (250, 59)]
 _NAMED = {"sg2": (75, 29), "sg3": (99, 41)}
+
+# --- Dasgupta sg2/sg3 grids (Dasgupta & Herbert, J. Comput. Chem. 38,
+# 869 (2017), doi:10.1002/jcc.24761; same published tables the reference
+# uses, factory.py:17-50 + truncation_rules.py:44-115): per-Z DE2 radial
+# alphas, and per-Z (radial-slice boundaries, angular precision per slice).
+_SG2_DE2_ALPHAS = {1: 2.6, 3: 3.2, 4: 2.4, 5: 2.4, 6: 2.2, 7: 2.2, 8: 2.2,
+                   9: 2.2, 11: 3.2, 12: 2.4, 13: 2.5, 14: 2.3, 15: 2.5,
+                   16: 2.5, 17: 2.5}
+_SG3_DE2_ALPHAS = {1: 2.7, 3: 3.0, 4: 2.4, 5: 2.4, 6: 2.4, 7: 2.4, 8: 2.6,
+                   9: 2.1, 11: 3.2, 12: 2.6, 13: 2.6, 14: 2.8, 15: 2.4,
+                   16: 2.4, 17: 2.6}
+_DASGUPTA_IDX = {
+    75: {1: [0, 35, 47, 63, 70, 75], 3: [0, 35, 47, 64, 71, 75],
+         4: [0, 35, 47, 64, 71, 75], 5: [0, 35, 47, 64, 71, 75],
+         6: [0, 35, 47, 64, 71, 75], 7: [0, 35, 47, 64, 71, 75],
+         8: [0, 30, 44, 62, 70, 75], 9: [0, 26, 42, 61, 69, 75],
+         11: [0, 35, 47, 64, 71, 75], 12: [0, 35, 47, 64, 71, 75],
+         13: [0, 32, 47, 64, 71, 75], 14: [0, 32, 47, 64, 71, 75],
+         15: [0, 30, 44, 61, 68, 75], 16: [0, 30, 44, 61, 68, 75],
+         17: [0, 26, 42, 61, 69, 75]},
+    99: {1: [0, 45, 61, 82, 92, 99], 3: [0, 46, 62, 84, 93, 99],
+         4: [0, 42, 48, 62, 84, 87, 93, 99], 5: [0, 42, 48, 62, 84, 93, 99],
+         6: [0, 46, 62, 84, 85, 87, 93, 99], 7: [0, 40, 58, 82, 93, 99],
+         8: [0, 40, 54, 56, 58, 82, 83, 84, 92, 99],
+         9: [0, 35, 52, 56, 81, 83, 91, 99], 11: [0, 46, 62, 84, 93, 99],
+         12: [0, 48, 63, 83, 90, 99], 13: [0, 42, 48, 62, 84, 87, 93, 99],
+         14: [0, 42, 48, 62, 84, 93, 99],
+         15: [0, 35, 36, 54, 58, 83, 85, 93, 99],
+         16: [0, 35, 36, 54, 58, 83, 85, 93, 99],
+         17: [0, 35, 52, 56, 81, 83, 91, 99]},
+}
+_DASGUPTA_PRECS = {
+    75: {1: [3, 17, 29, 15, 7], 3: [3, 17, 29, 15, 11],
+         4: [3, 17, 29, 15, 11], 5: [3, 17, 29, 19, 7],
+         6: [3, 17, 29, 19, 7], 7: [3, 17, 29, 15, 7],
+         8: [3, 17, 29, 19, 11], 9: [3, 17, 29, 17, 11],
+         11: [3, 17, 29, 15, 11], 12: [3, 17, 29, 15, 11],
+         13: [3, 17, 29, 19, 11], 14: [3, 17, 29, 19, 11],
+         15: [3, 17, 29, 19, 9], 16: [3, 17, 29, 19, 9],
+         17: [3, 17, 29, 17, 11]},
+    99: {1: [3, 17, 41, 23, 11], 3: [3, 17, 41, 19, 11],
+         4: [3, 15, 17, 41, 23, 19, 11], 5: [3, 15, 17, 41, 23, 11],
+         6: [3, 19, 41, 29, 23, 19, 15], 7: [3, 17, 41, 19, 11],
+         8: [3, 17, 23, 29, 41, 29, 23, 19, 11],
+         9: [3, 17, 23, 41, 23, 17, 11], 11: [3, 17, 41, 19, 11],
+         12: [3, 17, 41, 19, 11], 13: [3, 15, 17, 41, 23, 19, 11],
+         14: [3, 15, 17, 41, 23, 11], 15: [3, 15, 17, 23, 41, 23, 19, 11],
+         16: [3, 15, 17, 23, 41, 23, 19, 11], 17: [3, 17, 23, 41, 23, 17, 11]},
+}
 
 
 def _period(z: int) -> int:
@@ -133,33 +185,80 @@ def pbc_wrap_grid(spec: GridSpec, atompos, lattice, min_pts: int = 8
     )
 
 
+def _append_blocks(out, ia, r, wr, degs, rule=None):
+    """Append per-radial-point angular shells, grouped by equal degree."""
+    rule = rule or angular_rule
+    ratom, dirs, w0, aidx = out
+    for d in np.unique(degs):
+        sel = degs == d
+        ang_pts, ang_w = rule(int(d))
+        nang = len(ang_w)
+        nsel = int(sel.sum())
+        ratom.append(np.repeat(r[sel], nang))
+        dirs.append(np.tile(ang_pts, (nsel, 1)))
+        w0.append((wr[sel][:, None] * ang_w[None, :]).ravel())
+        aidx.append(np.full(nsel * nang, ia, dtype=np.int32))
+
+
 def get_predefined_grid(grid, atomzs: Sequence[int], atompos,
-                        prune: bool = True) -> GridSpec:
+                        prune: bool = True, pbc: bool = False) -> GridSpec:
     """grid: int level 0-9 or "sg2"/"sg3" (parity: reference
-    factory.py:243-319). prune=True reduces angular degree near nuclei."""
-    if isinstance(grid, str):
+    factory.py:243-319).
+
+    Integer levels: Treutler-M4 radial (per-Z xi, nr grows with period) x
+    Lebedev angular, NWChem-style pruning near nuclei (prune=True).
+    "sg2"/"sg3": the Dasgupta grids exactly as the reference builds them —
+    uniform x DE2(per-Z alpha, rmax = 15 * expected radius) radial,
+    per-radial-slice Lebedev precisions from the published truncation
+    tables (falls back to NWChem pruning for elements outside the
+    tables).
+
+    pbc=True (Sol grids, fed to pbc_wrap_grid) keeps named grids on the
+    Treutler + NWChem-prune path: the Dasgupta truncation tables assume the
+    molecular density decays at large r, but cell wrapping translates
+    outer-shell points into neighbouring density maxima where low angular
+    degrees under-resolve the *periodic* density (measured: 1.7e-2 electron
+    count error on an H/3-bohr cell vs 3e-4 with full degrees). PBC grids
+    also use the denser product angular rules: the wrapped integrand is not
+    a low-degree spherical harmonic in the parent-atom angles, so raw point
+    density beats polynomial exactness there (Lebedev deg-29: 1.5e-3 count
+    error; product deg-29: passes 1e-3)."""
+    named = isinstance(grid, str) and not pbc
+    if isinstance(grid, str) and pbc:
         nr_base, degree = _NAMED[grid.lower()]
+    elif named:
+        nr_base, degree = _NAMED[grid.lower()]
+        alphas = _SG2_DE2_ALPHAS if grid.lower() == "sg2" else _SG3_DE2_ALPHAS
     else:
         nr_base, degree = _LEVELS[int(grid)]
-    ratom, dirs, w0, aidx = [], [], [], []
+    out = ([], [], [], [])
     for ia, z in enumerate(atomzs):
-        nr = nr_base + 20 * (_period(int(z)) - 1)
-        xi = _TREUTLER_XI.get(int(z), 1.0)
-        r, wr = radial_grid(nr, TreutlerM4Transformation(xi=xi))
-        R = get_bragg_radius(int(z))
+        z = int(z)
+        if named:
+            nr = nr_base
+            tf = DE2Transformation(alpha=alphas.get(z, 1.0), rmin=1e-7,
+                                   rmax=15.0 * get_expected_radius(z))
+            r, wr = radial_grid(nr, tf, quadrature="uniform")
+            idxs = _DASGUPTA_IDX[nr].get(z)
+            if prune and idxs is not None:
+                degs = np.empty(nr, dtype=int)
+                for i, p in enumerate(_DASGUPTA_PRECS[nr][z]):
+                    degs[idxs[i]:idxs[i + 1]] = p
+                _append_blocks(out, ia, r, wr, degs)
+                continue
+        else:
+            nr = nr_base + 20 * (_period(z) - 1)
+            xi = _TREUTLER_XI.get(z, 1.0)
+            r, wr = radial_grid(nr, TreutlerM4Transformation(xi=xi))
+        R = get_bragg_radius(z)
         if prune:
             degs = np.array([_pruned_degree(ri / R, degree) for ri in r])
         else:
             degs = np.full(nr, degree, dtype=int)
-        for d in np.unique(degs):
-            sel = degs == d
-            ang_pts, ang_w = product_angular_grid(int(d))
-            nang = len(ang_w)
-            nsel = int(sel.sum())
-            ratom.append(np.repeat(r[sel], nang))
-            dirs.append(np.tile(ang_pts, (nsel, 1)))
-            w0.append((wr[sel][:, None] * ang_w[None, :]).ravel())
-            aidx.append(np.full(nsel * nang, ia, dtype=np.int32))
+        from .angular import product_angular_grid
+        _append_blocks(out, ia, r, wr, degs,
+                       rule=product_angular_grid if pbc else None)
+    ratom, dirs, w0, aidx = out
     radii = np.array([get_bragg_radius(int(z)) for z in atomzs])
     return GridSpec(ratom=np.concatenate(ratom),
                     dirs=np.concatenate(dirs, axis=0),

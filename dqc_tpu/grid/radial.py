@@ -31,21 +31,26 @@ def uniform_quadrature(n: int):
 
 
 class DE2Transformation:
-    """Double-exponential x->r map (reference radial_grid.py:143-162)."""
+    """Double-exponential x->r map, eq (31) of doi:10.1007/s00214-011-0985-x
+    (the form the reference implements, radial_grid.py:143-162):
+    r = exp(alpha*t - exp(-t)) with t affinely mapped from x in [-1, 1] to
+    [xmin, xmax], xmin = -ln(-ln rmin) (small-r asymptote), xmax =
+    ln(rmax)/alpha (large-r asymptote). The Dasgupta sg2/sg3 truncation
+    slice indices (grid/factory.py) assume exactly this distribution."""
 
     def __init__(self, alpha: float = 1.0, rmin: float = 1e-7,
-                 rmax: float = 40.0):
+                 rmax: float = 20.0):
+        assert rmin < 1.0
         self.alpha = alpha
-        # r = exp(alpha sinh t)  =>  t = asinh(ln(r)/alpha)
-        self.xmin = np.arcsinh(np.log(rmin) / alpha)
-        self.xmax = np.arcsinh(np.log(rmax) / alpha)
+        self.xmin = -np.log(-np.log(rmin))
+        self.xmax = np.log(rmax) / alpha
         self.tm = 0.5 * (self.xmax - self.xmin)
         self.tb = 0.5 * (self.xmax + self.xmin)
 
     def r_and_drdx(self, x):
         t = self.tm * x + self.tb
-        r = np.exp(self.alpha * np.sinh(t))
-        drdx = r * self.alpha * np.cosh(t) * self.tm
+        r = np.exp(self.alpha * t - np.exp(-t))
+        drdx = r * (self.alpha + np.exp(-t)) * self.tm
         return r, drdx
 
 

@@ -82,7 +82,23 @@ class HFEngine:
             return jnp.einsum("ikjl,...kl->...ij", theta["eri"], dm)
         if "eri_k" in theta:
             # exchange-layout dense ERI: trailing-axis matvec, no transpose
-            return jnp.einsum("ijkl,...kl->...ij", theta["eri_k"], dm)
+            fast = lambda d: jnp.einsum("ijkl,...kl->...ij",
+                                        theta["eri_k"], d)
+            if "eri_k_ok" in theta and "jkb0" in theta:
+                # runtime-arbitrated (scf/qccalc.solve_dm): the axon TPU
+                # can miscompile the big expand_k program; on a failed
+                # in-graph checksum fall back to the blocks path
+                from .jk import jk_from_blocks, theta_blocks
+                bmeta, jkm = self.jk_info
+
+                def safe(d):
+                    _, k = jk_from_blocks(bmeta, jkm,
+                                          theta_blocks(theta, jkm), d,
+                                          want_j=False, want_k=True)
+                    return k
+                import jax
+                return jax.lax.cond(theta["eri_k_ok"], fast, safe, dm)
+            return fast(dm)
         if "jkb0" in theta:
             from .jk import jk_from_blocks, theta_blocks
             bmeta, jkm = self.jk_info

@@ -290,6 +290,13 @@ class SCF_QCCalc:
                 f_new = np.asarray(f_new, dtype=np.float64)
                 e_new = np.asarray(e_new, dtype=np.float64)
                 errnorm = np.abs(e_new).max()
+                if not np.isfinite(errnorm) or not np.all(np.isfinite(f_new)):
+                    # a non-finite iterate (f32 overflow, device fault)
+                    # poisons the DIIS history and the pinv SVD — hand the
+                    # best finite state to the caller instead of crashing
+                    log(f"host-DIIS[{tag}] non-finite iterate at it={it} "
+                        f"(err={errnorm!r}); bailing with best so far")
+                    return best_f
                 if errnorm < best_err:
                     best_err, best_f, best_it = errnorm, f_new, it
                 fhist = (fhist + [f_new.ravel()])[-opts.diis_size:]
@@ -304,7 +311,14 @@ class SCF_QCCalc:
                     A[:h, h] = A[h, :h] = 1.0
                     rhs = np.zeros(h + 1)
                     rhs[h] = 1.0
-                    return (np.linalg.pinv(A, rcond=1e-12) @ rhs)[:h]
+                    try:
+                        return (np.linalg.pinv(A, rcond=1e-12) @ rhs)[:h]
+                    except np.linalg.LinAlgError:
+                        # LAPACK SVD can fail to converge on pathological
+                        # (still-finite) B matrices; steepest-descent step
+                        c = np.zeros(h)
+                        c[-1] = 1.0
+                        return c
 
                 c = coeffs(ehist)
                 # conditioning guard: near the floor the error vectors
@@ -396,6 +410,12 @@ class SCF_QCCalc:
             f_new, e_new = jit_rest(dm, j_ex, k_ex, theta)
             errnorm = float(np.abs(np.asarray(e_new)).max())
             log(f"host-DIIS[dual] outer={outer} exact-err={errnorm:.3e}")
+            if not np.isfinite(errnorm):
+                log("host-DIIS[dual] non-finite exact error; "
+                    "returning best outer iterate")
+                if best[1] is None:   # first outer already bad: NaN energy
+                    best = (errnorm, dm, j_ex, k_ex)   # gate catches it
+                break
             f = np.asarray(f_new, dtype=np.float64)
             # stagnation exit: each outer cycle costs one exact J/K build;
             # stop as soon as the exact-map error stops improving 4x (the
@@ -430,10 +450,13 @@ class SCF_QCCalc:
         (energy_fn/properties) trace the expansion inline where no oracle
         can run — so they only keep it if (a) the probe already passed on
         this calc, (b) we're on CPU, or (c) DQC_TPU_GRAD_EXPAND_K=1."""
+        env = os.environ.get("DQC_TPU_GRAD_EXPAND_K")
+        if env in ("cond", "drop"):   # force arbitration/drop (tests)
+            return False
         ok = getattr(self, "_expand_k_device_ok", None)
         if ok is not None:
             return ok
-        if os.environ.get("DQC_TPU_GRAD_EXPAND_K") == "1":
+        if env == "1":
             return True
         return jax.default_backend() == "cpu"
 
@@ -442,10 +465,33 @@ class SCF_QCCalc:
         theta = self._build_theta(params)
         if ("eri_k" in theta and getattr(self, "_expand_k_info", None)
                 is not None and not self._trusted_expand_k()):
-            # drop the untrusted device expansion from the traced program
-            # (dead code -> XLA eliminates it); engine falls back to the
-            # provably-correct blocks path
-            theta = {k: v for k, v in theta.items() if k != "eri_k"}
+            if os.environ.get("DQC_TPU_GRAD_EXPAND_K") == "drop":
+                # escape hatch: drop the untrusted device expansion from the
+                # traced program (dead code -> XLA eliminates it); engine
+                # falls back to the provably-correct blocks path
+                theta = {k: v for k, v in theta.items() if k != "eri_k"}
+            else:
+                # in-graph arbitration: checksum the device-expanded tensor
+                # against the blocks path ONCE per solve (a fixed symmetric
+                # probe contraction), and let the engine lax.cond between
+                # the fast trailing-axis eri_k exchange and the safe blocks
+                # exchange on the runtime verdict. This gives traced TPU
+                # *gradient* workloads the fast path back without trusting
+                # the known-miscompiling expansion blindly (STATUS.md).
+                from .jk import jk_from_blocks, theta_blocks
+                bmeta, jkm = self._expand_k_info
+                nao = self.mol.meta.nao
+                probe_np = np.random.RandomState(7).standard_normal(
+                    (nao, nao))
+                probe = jnp.asarray(probe_np + probe_np.T)
+                k_dev = jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe)
+                _, k_blk = jk_from_blocks(bmeta, jkm,
+                                          theta_blocks(theta, jkm), probe,
+                                          want_j=False, want_k=True)
+                rel = (jnp.linalg.norm(k_dev - k_blk)
+                       / jnp.maximum(jnp.linalg.norm(k_blk), 1e-300))
+                theta = dict(theta)
+                theta["eri_k_ok"] = rel < 1e-9
         eng = self.engine
         # core-hamiltonian ("1e") initial guess (reference scf_qccalc.py:85-93)
         if hasattr(eng, "init_dm"):
@@ -672,6 +718,8 @@ class SCF_QCCalc:
                            if mol.efield is None
                            else jnp.asarray(mol.efield, dtype=jnp.float64))
             p["efield_grad"] = jnp.zeros((3, 3), dtype=jnp.float64)
+        if getattr(mol, "vext", None) is not None:
+            p["vext"] = jnp.asarray(mol.vext, dtype=jnp.float64)
         if getattr(self, "_xc_params", None) is not None:
             p["xc_params"] = self._xc_params
         return p
@@ -895,12 +943,18 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
     mode, jk_info = (_jk_setup(mol, scr) if dfset is None else ("df", None))
     warm_df = _warm_df_setup(mol) if mode == "stream" else None
     engine = HFEngine(polarized=polarized, jk_info=jk_info)
+    vext_grid = mol.setup_grid() if getattr(mol, "vext", None) is not None \
+        else None
 
     def part_core(params):
         theta = build_core_theta(mol.meta, params["basis"], params["atomzs"],
                                  efield=params.get("efield"),
                                  efield_grad=params.get("efield_grad"),
                                  with_eri=(mode == "dense"), screened=scr)
+        if "vext" in params:
+            from ..xc.integrate import vext_matrix
+            theta["hcore"] = theta["hcore"] + vext_matrix(
+                mol.meta, params["basis"], vext_grid, params["vext"])
         theta["occ"] = occ
         return theta
 
@@ -1056,6 +1110,10 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
                                  efield=params.get("efield"),
                                  efield_grad=params.get("efield_grad"),
                                  with_eri=(mode == "dense"), screened=scr)
+        if "vext" in params:
+            from ..xc.integrate import vext_matrix
+            theta["hcore"] = theta["hcore"] + vext_matrix(
+                mol.meta, params["basis"], grid, params["vext"])
         theta["occ"] = occ
         theta["xc_params"] = params.get("xc_params")
         return theta

@@ -52,6 +52,7 @@ class Mol:
                  charge: Union[int, float] = 0,
                  orthogonalize_basis: bool = True,
                  efield=None,
+                 vext=None,
                  orb_weights=None,
                  grid: Union[int, str] = "sg3",
                  dtype=jnp.float64):
@@ -101,6 +102,9 @@ class Mol:
         if isinstance(orb_weights, SpinParam):
             self.polarized = True
         self.efield = efield
+        # grid-tabulated external potential (ngrid,), contracted into hcore
+        # (parity: reference mol.py:89,98 + hcgto.py:144-146,243-250)
+        self.vext = vext
         self.orthogonalize_basis = orthogonalize_basis
         self.grid_level = grid
         self._dfinfo: Optional[DensityFitInfo] = None
@@ -130,10 +134,16 @@ class Mol:
                        ["%.10e" % float(a) for a in np.asarray(b.alphas)],
                        ["%.10e" % float(c) for c in np.asarray(b.coeffs)])
                       for ab in self.atombases for b in ab.bases])
-        h = hashlib.sha256(pos + zs + shells.encode()).hexdigest()[:16]
+        vext_b = (b"" if self.vext is None
+                  else np.round(np.asarray(self.vext, dtype=np.float64),
+                                10).tobytes())
+        h = hashlib.sha256(pos + zs + shells.encode() + vext_b).hexdigest()[:16]
         # v2: ao_grad grid tables stored as (3, ng, nao) — layout change
-        # invalidates v1 caches
-        return f"mol2-{h}-grid{self.grid_level}-q{self.charge}-s{self.spin}"
+        # invalidates v1 caches. Angular-rule tag: switching Lebedev <->
+        # product rules changes every grid table.
+        from ..grid.angular import angular_rule_tag
+        return (f"mol2-{h}-grid{self.grid_level}-{angular_rule_tag()}"
+                f"-q{self.charge}-s{self.spin}")
 
     # --- occupations -----------------------------------------------------
     def get_orb_weights(self, polarized: Optional[bool] = None):
@@ -204,7 +214,7 @@ class Mol:
             basis=kwargs.pop("basis", None),
             spin=self.spin, charge=self.charge,
             orthogonalize_basis=self.orthogonalize_basis,
-            efield=self.efield, grid=self.grid_level,
+            efield=self.efield, vext=self.vext, grid=self.grid_level,
         )
         if opts["basis"] is None:
             opts["basis"] = [ab.bases for ab in self.atombases]

@@ -77,7 +77,8 @@ class Sol:
         if self._grid is None:
             from ..grid.factory import get_predefined_grid, pbc_wrap_grid
             spec = get_predefined_grid(self.grid_level, self.zs_int,
-                                       np.asarray(self.params["atompos"]))
+                                       np.asarray(self.params["atompos"]),
+                                       pbc=True)
             self._grid = pbc_wrap_grid(spec, self.params["atompos"],
                                        self.lattice)
         return self._grid

@@ -88,3 +88,22 @@ def get_atom_mass(z: int) -> float:
 
 def get_bragg_radius(z: int) -> float:
     return BRAGG_RADII[z] if z < len(BRAGG_RADII) else BRAGG_RADII[-1]
+
+
+# expectation values <r> of the outermost atomic orbital, in Bohr
+# (published table, doi:10.1007/s00214-012-1169-z — the "expected" atom
+# radii the reference uses for its Dasgupta sg2/sg3 grids,
+# periodictable.py:150-186); index = Z (0 = ghost)
+EXPECTED_RADII = [
+    1.0,
+    1.0, 0.927272, 3.873661, 2.849396, 2.204757, 1.714495, 1.409631,
+    1.232198, 1.084786, 0.965273, 4.208762, 3.252938, 3.433889, 2.752216,
+    2.322712, 2.060717, 1.842024, 1.662954, 5.243652, 4.218469, 3.959716,
+    3.778855, 3.626288, 3.675012, 3.381917, 3.258487, 3.153572, 3.059109,
+    3.330979, 2.897648, 3.424103, 2.866859, 2.512233, 2.299617, 2.111601,
+    1.951590,
+]
+
+
+def get_expected_radius(z: int) -> float:
+    return EXPECTED_RADII[z] if z < len(EXPECTED_RADII) else EXPECTED_RADII[-1]

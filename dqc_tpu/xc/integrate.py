@@ -65,6 +65,20 @@ def setup_grid_theta(meta, params, grid, family: int = 1):
     return out
 
 
+def vext_matrix(meta, params, grid, vext):
+    """Grid-tabulated arbitrary external potential: V_ext[ij] =
+    sum_g vext_g dvol_g phi_i(r_g) phi_j(r_g), added to hcore.
+
+    Parity: reference HamiltonCGTO.get_vext (hcgto.py:243-250), where
+    vext (ngrid,) enters the core Hamiltonian via the basis_dvolume
+    contraction (hcgto.py:144-146). Differentiable w.r.t. vext, basis
+    params, and atom positions (the quadrature itself moves with the
+    atoms through the in-graph Becke weights)."""
+    tabs = setup_grid_theta(meta, params, grid, family=1)
+    w = jnp.asarray(vext) * tabs["dvol"]
+    return jnp.einsum("gi,g,gj->ij", tabs["ao"], w, tabs["ao"])
+
+
 def density_from_tables(tabs, dm, family: int, polarized: bool):
     """Densities at grid points from AO tables + dm.
 

@@ -153,3 +153,82 @@ def test_scf_force_blocked_jk_mode():
         assert abs(float(g2[1, 0]) - float(g[1, 0])) < 1e-10
     finally:
         qmod.DENSE_ERI_BYTES_LIMIT = old
+
+
+def test_scf_energy_grad_vext():
+    """Grid-tabulated external potential (parity: reference
+    hcgto.py:243-250, gradcheck'd in dqc test_ks.py:117-243):
+    (a) vext=0 leaves the energy unchanged; (b) a constant shift c adds
+    c * nelec (V_ext -> c * S_quadrature); (c) dE/dvext matches FD."""
+    desc = "H -0.7 0 0; H 0.7 0 0"
+    mol0 = dqc_tpu.Mol(desc, basis="sto-3g", grid=1)
+    e_plain = float(dqc_tpu.HF(mol0).run().energy())
+
+    ng = mol0.setup_grid().w0.shape[0]
+    mol_z = dqc_tpu.Mol(desc, basis="sto-3g", grid=1,
+                        vext=np.zeros(ng))
+    assert float(dqc_tpu.HF(mol_z).run().energy()) == pytest.approx(
+        e_plain, abs=1e-12)
+
+    c = 0.037
+    mol_c = dqc_tpu.Mol(desc, basis="sto-3g", grid=1,
+                        vext=np.full(ng, c))
+    e_c = float(dqc_tpu.HF(mol_c).run().energy())
+    # quadrature S differs from analytic S at grid level 1 -> loose tol
+    assert e_c - e_plain == pytest.approx(c * 2.0, abs=5e-4)
+
+    # (c) FD gradient of KS energy w.r.t. per-point vext entries
+    rng = np.random.RandomState(0)
+    v0 = 0.01 * rng.randn(ng)
+    mol_v = dqc_tpu.Mol(desc, basis="sto-3g", grid=1, vext=v0)
+    qc = dqc_tpu.KS(mol_v, xc="lda_x")
+    p0 = qc._all_params()
+
+    def e_of(v):
+        p = dict(p0)
+        p["vext"] = v
+        return qc.energy_fn(p)
+
+    g = jax.grad(e_of)(p0["vext"])
+    h = 1e-5
+    for idx in (0, ng // 2, ng - 1):
+        dv = jnp.zeros(ng).at[idx].set(h)
+        fd = (e_of(p0["vext"] + dv) - e_of(p0["vext"] - dv)) / (2 * h)
+        assert abs(float(fd) - float(g[idx])) < 1e-7
+
+
+def test_expand_k_in_graph_arbitration(monkeypatch):
+    """Traced-gradient exchange arbitration (scf/qccalc.solve_dm): with
+    DQC_TPU_GRAD_EXPAND_K=cond the traced program checksums the device
+    eri_k expansion against the blocks path and lax.cond-selects at
+    runtime. (a) Sound expansion: energy/force equal the blocks-only
+    ("drop") program. (b) Corrupted expansion (simulated miscompile):
+    the cond must fall back to blocks and still be exact."""
+    import dqc_tpu.scf.qccalc as qmod
+    import dqc_tpu.scf.jk as jkmod
+    old = qmod.DENSE_ERI_BYTES_LIMIT
+    mol = dqc_tpu.Mol("H -0.7 0 0; H 0.7 0 0", basis="3-21g")
+    try:
+        qmod.DENSE_ERI_BYTES_LIMIT = 0   # dense off -> blocked + expand_k
+
+        def e_and_g(env):
+            monkeypatch.setenv("DQC_TPU_GRAD_EXPAND_K", env)
+            qc = dqc_tpu.HF(mol)
+            p = qc._all_params()
+            e, g = jax.jit(jax.value_and_grad(
+                qc.energy_fn))(p)
+            return float(e), np.asarray(g["atompos"])
+
+        e_drop, g_drop = e_and_g("drop")
+        e_cond, g_cond = e_and_g("cond")
+        assert e_cond == pytest.approx(e_drop, abs=1e-12)
+        np.testing.assert_allclose(g_cond, g_drop, atol=1e-11)
+
+        real = jkmod.expand_k_tensor
+        monkeypatch.setattr(jkmod, "expand_k_tensor",
+                            lambda meta, jkm, bl: 1.5 * real(meta, jkm, bl))
+        e_bad, g_bad = e_and_g("cond")
+        assert e_bad == pytest.approx(e_drop, abs=1e-12)
+        np.testing.assert_allclose(g_bad, g_drop, atol=1e-11)
+    finally:
+        qmod.DENSE_ERI_BYTES_LIMIT = old
