@@ -26,9 +26,13 @@ _REGISTRY: Dict[str, str] = {
     _NORMALIZE("def2-svp"): "def2svp",
     _NORMALIZE("def2-sv(p)"): "def2svp",
     _NORMALIZE("cc-pvdz"): "ccpvdz",
-    _NORMALIZE("def2-svp-jkfit"): "def2svpjkfit",
-    _NORMALIZE("def2-universal-jkfit"): "def2svpjkfit",
 }
+
+# fitting-basis names we recognize but do not vendor (exact jkfit data is
+# not redistributable offline-first at useful fidelity); Mol.densityfit()
+# generates an even-tempered auxiliary basis (basis/autoaux.py) instead
+_UNVENDORED_FIT = {_NORMALIZE("def2-svp-jkfit"),
+                   _NORMALIZE("def2-universal-jkfit")}
 
 _cache: Dict[str, dict] = {}
 
@@ -39,6 +43,12 @@ def list_basis_sets() -> List[str]:
 
 def _get_data(basisname: str) -> dict:
     key = _NORMALIZE(basisname)
+    if key in _UNVENDORED_FIT:
+        raise ValueError(
+            f"Fitting basis {basisname!r} is not vendored. Use "
+            "Mol.densityfit() without an explicit auxbasis to get the "
+            "generated even-tempered auxiliary set (basis/autoaux.py), or "
+            "pass the jkfit data as a Gaussian94 string/file.")
     if key not in _REGISTRY:
         raise ValueError(
             f"Unknown basis set {basisname!r}; vendored sets: "

@@ -803,6 +803,13 @@ def sad_dm0(mol, xc="lda_x"):
     nao = mol.meta.nao
     dm = np.zeros((nao, nao))
     off = 0
+    # disk cache: the atomic SCFs are tiny but their whole-program XLA
+    # modules are expensive to compile cold on the remote-TPU path (the
+    # atomic grid tables are baked in as constants); a converged atomic dm
+    # is geometry-independent so it can be reused across runs/processes.
+    cache_dir = os.environ.get("DQC_TPU_SAD_CACHE_DIR")
+    if cache_dir is None and getattr(mol, "_cache_fname", None):
+        cache_dir = os.path.dirname(os.path.abspath(mol._cache_fname))
     for ab in mol.atombases:
         na = sum(nsph(b.angmom) for b in ab.bases)
         key = (int(ab.atomz),
@@ -810,12 +817,25 @@ def sad_dm0(mol, xc="lda_x"):
                      for b in ab.bases))
         if key not in cache:
             z = int(ab.atomz)
-            amol = Mol((np.array([float(z)]), np.zeros((1, 3))),
-                       basis={z: list(ab.bases)}, spin=0,
-                       orb_weights=_sad_occ(z, na), grid=1)
-            qa = KS(amol, xc=xc,
-                    opts=SCFOptions(mixed=False, guess="gwh")).run()
-            cache[key] = np.asarray(qa.aodm())
+            fname = None
+            if cache_dir:
+                import hashlib
+                from ..grid.angular import angular_rule_tag
+                h = hashlib.sha256(
+                    repr((key, xc, angular_rule_tag())).encode()
+                ).hexdigest()[:16]
+                fname = os.path.join(cache_dir, f".sad_{z}_{h}.npy")
+            if fname and os.path.exists(fname):
+                cache[key] = np.load(fname)
+            else:
+                amol = Mol((np.array([float(z)]), np.zeros((1, 3))),
+                           basis={z: list(ab.bases)}, spin=0,
+                           orb_weights=_sad_occ(z, na), grid=1)
+                qa = KS(amol, xc=xc,
+                        opts=SCFOptions(mixed=False, guess="gwh")).run()
+                cache[key] = np.asarray(qa.aodm())
+                if fname:
+                    np.save(fname, cache[key])
         dm[off:off + na, off:off + na] = cache[key]
         off += na
     return dm

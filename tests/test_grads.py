@@ -217,7 +217,7 @@ def test_expand_k_in_graph_arbitration(monkeypatch):
             p = qc._all_params()
             e, g = jax.jit(jax.value_and_grad(
                 qc.energy_fn))(p)
-            return float(e), np.asarray(g["atompos"])
+            return float(e), np.asarray(g["basis"]["atompos"])
 
         e_drop, g_drop = e_and_g("drop")
         e_cond, g_cond = e_and_g("cond")
