@@ -38,7 +38,8 @@ from .system.mol import Mol                      # noqa: E402,F401
 
 _LAZY = ("HF", "KS", "SCF_QCCalc", "Sol", "get_xc", "get_libxc",
          "hessian_pos", "vibration", "ir_spectrum", "raman_spectrum",
-         "edipole", "equadrupole", "polarizability", "optimal_geometry",
+         "edipole", "equadrupole", "eoctupole", "polarizability",
+         "optimal_geometry",
          "is_orb_min", "lowest_eival_orb_hessian", "band_energies")
 
 
@@ -58,7 +59,7 @@ def __getattr__(name):
         from .xc import getxc
         return getattr(getxc, name)
     if name in ("hessian_pos", "vibration", "ir_spectrum", "raman_spectrum",
-                "edipole", "equadrupole", "polarizability",
+                "edipole", "equadrupole", "eoctupole", "polarizability",
                 "optimal_geometry", "is_orb_min",
                 "lowest_eival_orb_hessian"):
         from .api import properties

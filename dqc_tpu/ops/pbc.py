@@ -23,10 +23,24 @@ from .shellstruct import (BasisMeta, gather_pair_inputs, pair_ao_indices,
 
 def estimate_rcut(meta, params_np, precision: float = 1e-10) -> float:
     """Real-space cutoff so neglected overlap tails < precision
-    (parity intent: reference utils/pbc.py estimate_ovlp_rcut)."""
+    (parity intent: reference utils/pbc.py estimate_ovlp_rcut).
+
+    The returned value bounds the *translation* norm |T| in lattice sums
+    of pair quantities f(r_i, r_j + T). The decay criterion is on the
+    pair separation |r_ij + T|, so |T| must reach rcut_decay + max_ij
+    |r_i - r_j|: without the intra-cell-diameter pad, a multi-atom
+    (super)cell silently truncates images between far-apart atoms —
+    caught by the 4-cell supercell-folding invariant (hcore band
+    degeneracies split by ~1e-4, energies off ~2 mHa/cell)."""
     amin = min(float(np.min(np.asarray(a))) for a in params_np["alphas"])
     # exp(-a/2 * r^2) < eps  =>  r > sqrt(-2 ln eps / a)
-    return float(np.sqrt(-2.0 * np.log(precision) / amin)) + 2.0
+    rdecay = float(np.sqrt(-2.0 * np.log(precision) / amin)) + 2.0
+    pos = np.asarray(params_np["atompos"], dtype=np.float64)
+    dmax = 0.0
+    if pos.shape[0] > 1:
+        diff = pos[:, None, :] - pos[None, :, :]
+        dmax = float(np.max(np.sqrt(np.sum(diff * diff, axis=-1))))
+    return rdecay + dmax
 
 
 def _pair_fn_with_shift(kind, inp, shift):

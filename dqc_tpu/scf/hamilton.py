@@ -27,13 +27,15 @@ def nuclear_repulsion(atomzs, atompos):
 
 
 def build_core_theta(meta, params, atomzs, *, efield=None, efield_grad=None,
-                     with_eri: bool = True, ovlp_threshold: float = 1e-9,
-                     screened=None):
+                     efield_grad2=None, with_eri: bool = True,
+                     ovlp_threshold: float = 1e-9, screened=None):
     """Builds the SCF theta dict (hcore, ovlp, X/keep, eri, enuc).
 
     efield: optional (3,) uniform electric field; adds +E.r_e coupling.
     efield_grad: optional (3,3) field gradient; adds (1/2!) sum G_de x_d x_e
-    (multipole expansion as in the reference, hcgto.py:117-125).
+    efield_grad2: optional (3,3,3) second field gradient; adds the
+    (1/3!) sum G_def x_d x_e x_f octupole coupling (multipole expansion as
+    in the reference, hcgto.py:117-125; r0r0r0 order, namemgr.py:21-25).
     """
     ovlp = I.overlap(meta, params)
     kin = I.kinetic(meta, params)
@@ -53,6 +55,23 @@ def build_core_theta(meta, params, atomzs, *, efield=None, efield_grad=None,
                                      for b in range(3)]) for a in range(3)])
         hcore = hcore + 0.5 * jnp.einsum("de,deij->ij",
                                          jnp.asarray(efield_grad), quad)
+    if efield_grad2 is not None:
+        import numpy as np
+        eye = np.eye(3, dtype=int)
+        # 27 index triples share 10 distinct power tuples — compute each once
+        uniq = {}
+
+        def mono(a, b, c):
+            pw = tuple(int(v) for v in (eye[a] + eye[b] + eye[c]))
+            if pw not in uniq:
+                uniq[pw] = I.multipole(meta, params, pw)
+            return uniq[pw]
+
+        octm = jnp.stack([jnp.stack([jnp.stack(
+            [mono(a, b, c) for c in range(3)])
+            for b in range(3)]) for a in range(3)])
+        hcore = hcore + (1.0 / 6.0) * jnp.einsum(
+            "def,defij->ij", jnp.asarray(efield_grad2), octm)
     X, keep = orthogonalizer(ovlp, ovlp_threshold)
     theta = {
         "hcore": hcore,

@@ -713,11 +713,21 @@ class SCF_QCCalc:
             "basis": mol.params,
             "atomzs": mol.atomzs,
         }
-        if with_fields or mol.efield is not None:
+        efg = getattr(mol, "efield_grad", None)
+        efg2 = getattr(mol, "efield_grad2", None)
+        if with_fields or mol.efield is not None or efg is not None \
+                or efg2 is not None:
             p["efield"] = (jnp.zeros(3, dtype=jnp.float64)
                            if mol.efield is None
                            else jnp.asarray(mol.efield, dtype=jnp.float64))
-            p["efield_grad"] = jnp.zeros((3, 3), dtype=jnp.float64)
+            p["efield_grad"] = (jnp.zeros((3, 3), dtype=jnp.float64)
+                                if efg is None
+                                else jnp.asarray(efg, dtype=jnp.float64))
+        if efg2 is not None:
+            # the (3,3,3) octupole placeholder is NOT added by default: it
+            # costs 10 extra multipole integrals in every traced program;
+            # eoctupole() injects the key itself when differentiating
+            p["efield_grad2"] = jnp.asarray(efg2, dtype=jnp.float64)
         if getattr(mol, "vext", None) is not None:
             p["vext"] = jnp.asarray(mol.vext, dtype=jnp.float64)
         if getattr(self, "_xc_params", None) is not None:
@@ -970,6 +980,7 @@ def HF(mol, *, restricted: Optional[bool] = None, variational: bool = False,
         theta = build_core_theta(mol.meta, params["basis"], params["atomzs"],
                                  efield=params.get("efield"),
                                  efield_grad=params.get("efield_grad"),
+                                 efield_grad2=params.get("efield_grad2"),
                                  with_eri=(mode == "dense"), screened=scr)
         if "vext" in params:
             from ..xc.integrate import vext_matrix
@@ -1129,6 +1140,7 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
         theta = build_core_theta(mol.meta, params["basis"], params["atomzs"],
                                  efield=params.get("efield"),
                                  efield_grad=params.get("efield_grad"),
+                                 efield_grad2=params.get("efield_grad2"),
                                  with_eri=(mode == "dense"), screened=scr)
         if "vext" in params:
             from ..xc.integrate import vext_matrix

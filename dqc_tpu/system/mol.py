@@ -52,6 +52,8 @@ class Mol:
                  charge: Union[int, float] = 0,
                  orthogonalize_basis: bool = True,
                  efield=None,
+                 efield_grad=None,
+                 efield_grad2=None,
                  vext=None,
                  orb_weights=None,
                  grid: Union[int, str] = "sg3",
@@ -102,6 +104,11 @@ class Mol:
         if isinstance(orb_weights, SpinParam):
             self.polarized = True
         self.efield = efield
+        # static field gradient (3,3) and second gradient (3,3,3): couple
+        # through the quadrupole / octupole multipole integrals (parity:
+        # reference r0r0 / r0r0r0 efield orders, namemgr.py:21-25)
+        self.efield_grad = efield_grad
+        self.efield_grad2 = efield_grad2
         # grid-tabulated external potential (ngrid,), contracted into hcore
         # (parity: reference mol.py:89,98 + hcgto.py:144-146,243-250)
         self.vext = vext
@@ -214,7 +221,9 @@ class Mol:
             basis=kwargs.pop("basis", None),
             spin=self.spin, charge=self.charge,
             orthogonalize_basis=self.orthogonalize_basis,
-            efield=self.efield, vext=self.vext, grid=self.grid_level,
+            efield=self.efield, efield_grad=self.efield_grad,
+            efield_grad2=self.efield_grad2, vext=self.vext,
+            grid=self.grid_level,
         )
         if opts["basis"] is None:
             opts["basis"] = [ab.bases for ab in self.atombases]

@@ -11,7 +11,8 @@ import re
 
 from .base import BaseXC, HFExchangeXC
 from .lda import LDA_X, LDA_C_PW, LDA_C_VWN5, LDA_C_VWN3
-from .gga import GGA_X_PBE, GGA_C_PBE, GGA_X_B88, GGA_C_LYP
+from .gga import (GGA_X_PBE, GGA_C_PBE, GGA_X_B88, GGA_C_LYP,
+                  GGA_X_PBE_SOL, GGA_X_REVPBE, GGA_X_RPBE, GGA_C_PBE_SOL)
 
 _REGISTRY = {
     "lda_x": LDA_X,
@@ -23,6 +24,10 @@ _REGISTRY = {
     "lda_c_vwn3": LDA_C_VWN3,
     "gga_x_pbe": GGA_X_PBE,
     "gga_c_pbe": GGA_C_PBE,
+    "gga_x_pbe_sol": GGA_X_PBE_SOL,
+    "gga_c_pbe_sol": GGA_C_PBE_SOL,
+    "gga_x_pbe_r": GGA_X_REVPBE,   # libxc name for revPBE exchange
+    "gga_x_rpbe": GGA_X_RPBE,
     "gga_x_b88": GGA_X_B88,
     "gga_c_lyp": GGA_C_LYP,
     "hf": HFExchangeXC,
@@ -47,7 +52,12 @@ def _named_composites():
         "pbe0": lambda: (0.25 * HFExchangeXC() + 0.75 * GGA_X_PBE()
                          + GGA_C_PBE()),
         "pbe": lambda: GGA_X_PBE() + GGA_C_PBE(),
+        "pbesol": lambda: GGA_X_PBE_SOL() + GGA_C_PBE_SOL(),
+        "revpbe": lambda: GGA_X_REVPBE() + GGA_C_PBE(),
+        "rpbe": lambda: GGA_X_RPBE() + GGA_C_PBE(),
         "blyp": lambda: GGA_X_B88() + GGA_C_LYP(),
+        "bhandhlyp": lambda: (0.5 * HFExchangeXC() + 0.5 * GGA_X_B88()
+                              + GGA_C_LYP()),
         "svwn": lambda: LDA_X() + LDA_C_VWN5(),
         "scan": lambda: get_libxc("mgga_x_scan") + get_libxc("mgga_c_scan"),
         "tpss": lambda: get_libxc("mgga_x_tpss") + get_libxc("mgga_c_tpss"),

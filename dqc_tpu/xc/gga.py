@@ -136,3 +136,34 @@ class GGA_C_LYP(BaseXC):
                   + (2.0 / 3.0 * n * n - nu * nu) * sigma_dd
                   + (2.0 / 3.0 * n * n - nd * nd) * sigma_uu)
         return term1 - a * b * omega * (nund * (t_cf + t_ab) + t_rest)
+
+
+class GGA_X_PBE_SOL(GGA_X_PBE):
+    """PBEsol exchange: PBE with mu restored to the gradient-expansion
+    value 10/81 (Perdew et al. PRL 100, 136406 (2008))."""
+    _MU = 10.0 / 81.0
+
+
+class GGA_X_REVPBE(GGA_X_PBE):
+    """revPBE exchange: kappa = 1.245 (Zhang & Yang PRL 80, 890 (1998))."""
+    _KAPPA = 1.245
+
+
+class GGA_X_RPBE(GGA_X_PBE):
+    """RPBE exchange: F(s) = 1 + kappa*(1 - exp(-mu s^2 / kappa))
+    (Hammer, Hansen, Norskov PRB 59, 7413 (1999)). Same kappa/mu as PBE,
+    different enhancement form (identical to second order in s)."""
+
+    def _e_unpol(self, rho, sigma):
+        kf = ((3.0 * np.pi ** 2) ** (1.0 / 3.0)
+              * safepow(rho, 1.0 / 3.0, rho_eps(rho)))
+        ex_lda = -3.0 / (4.0 * np.pi) * kf * rho
+        s2 = jnp.maximum(sigma, sig_eps(sigma)) / (
+            4.0 * kf * kf * jnp.maximum(rho, rho_eps(rho)) ** 2)
+        F = 1.0 + self._KAPPA * (1.0 - jnp.exp(-self._MU * s2 / self._KAPPA))
+        return ex_lda * F
+
+
+class GGA_C_PBE_SOL(GGA_C_PBE):
+    """PBEsol correlation: beta = 0.046 (PRL 100, 136406 (2008))."""
+    _BETA = 0.046

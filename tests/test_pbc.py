@@ -385,3 +385,61 @@ def test_pbc_forces_vs_fd():
     dp = jnp.zeros_like(pos0).at[1, 0].set(h)
     fd = (float(e_of_pos(pos0 + dp)) - float(e_of_pos(pos0 - dp))) / (2 * h)
     assert abs(float(g[1, 0]) - fd) < 1e-7
+
+
+def test_kpoint_4mesh_supercell_invariant():
+    """4-point 1D k-mesh == 4-fold supercell at gamma (per cell):
+    exercises general e^{ikT} Bloch phases beyond the +-1 of the 2-point
+    mesh (k = 2*pi*n/(4a), n=0..3, includes +-i phases). Beyond-toy-cell
+    validation (round-1 verdict item 10)."""
+    import dqc_tpu
+    a = 3.0
+    kxs = 2.0 * np.pi / (4.0 * a) * np.arange(4)
+    kpts = np.stack([kxs, np.zeros(4), np.zeros(4)], axis=-1)
+    s1 = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", grid="sg2",
+             kpts=kpts)
+    e_k = float(dqc_tpu.KS(s1, xc="lda_x").run().energy())
+    desc = "; ".join(f"He {n * a} 0 0" for n in range(4))
+    s2 = Sol(desc, np.diag([4 * a, a, a]), basis="sto-3g", grid="sg2")
+    e_sc = float(dqc_tpu.KS(s2, xc="lda_x").run().energy())
+    assert abs(e_k - e_sc / 4) < 5e-6
+
+
+def test_kpoint_hf_4mesh_supercell_invariant():
+    """4-point k-mesh exact exchange (16 (k,k') pair stacks with complex
+    phases + BvK Madelung over the 4-cell supercell) == gamma supercell
+    HF / 4."""
+    import dqc_tpu
+    a = 3.0
+    kxs = 2.0 * np.pi / (4.0 * a) * np.arange(4)
+    kpts = np.stack([kxs, np.zeros(4), np.zeros(4)], axis=-1)
+    s1 = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", kpts=kpts)
+    e_k = float(dqc_tpu.HF(s1).run().energy())
+    desc = "; ".join(f"He {n * a} 0 0" for n in range(4))
+    s2 = Sol(desc, np.diag([4 * a, a, a]), basis="sto-3g")
+    e_sc = float(dqc_tpu.HF(s2).run().energy())
+    assert abs(e_k - e_sc / 4) < 5e-6
+
+
+def test_noncubic_321g_kpoint_supercell_invariant():
+    """Triclinic (non-orthogonal) 2-atom H2 cell with 3-21G: a 2-point
+    mesh along b1 == the a1-doubled supercell at gamma. Exercises the
+    reciprocal-vector handling, cell wrap, and lattice sums off the cubic
+    toy-cell axis (round-1 verdict item 10: '2-atom non-cubic cell with
+    3-21G')."""
+    import dqc_tpu
+    A = np.array([[3.0, 0.0, 0.0],
+                  [0.9, 3.3, 0.0],
+                  [0.3, -0.6, 3.1]])
+    B = 2.0 * np.pi * np.linalg.inv(A).T   # rows b_i: b_i . a_j = 2pi d_ij
+    kpts = np.stack([np.zeros(3), 0.5 * B[0]])
+    desc = "H 0 0 0; H 1.4 0 0"
+    s1 = Sol(desc, A, basis="3-21g", grid="sg2", kpts=kpts)
+    e_k = float(dqc_tpu.KS(s1, xc="lda_x").run().energy())
+    A2 = A.copy()
+    A2[0] *= 2.0
+    desc2 = (desc + f"; H {A[0, 0]} {A[0, 1]} {A[0, 2]}"
+             f"; H {A[0, 0] + 1.4} {A[0, 1]} {A[0, 2]}")
+    s2 = Sol(desc2, A2, basis="3-21g", grid="sg2")
+    e_sc = float(dqc_tpu.KS(s2, xc="lda_x").run().energy())
+    assert abs(e_k - e_sc / 2) < 1e-5

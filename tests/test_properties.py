@@ -98,3 +98,36 @@ def test_polarizability_vs_fd_dipole(h2o_qc):
         ef[d] = h
         fd_col = (mu_at(ef) - mu_at(-ef)) / (2 * h)
         np.testing.assert_allclose(alpha[:, d], fd_col, atol=5e-6)
+
+
+def test_eoctupole_hellmann_feynman(h2o_qc):
+    """Octupole via -6*dE/d(efield_grad2) equals the direct density
+    contraction with the <i|r_d r_e r_f|j> multipole integrals plus the
+    nuclear third moment (Hellmann-Feynman at the SCF fixed point — the
+    coupling is linear in hcore, so this pins the 1/3! factor AND the
+    implicit-diff path through the r0r0r0 integrals; parity: the
+    reference's highest multipole order, namemgr.py:21-25)."""
+    from dqc_tpu.api.properties import eoctupole
+    from dqc_tpu.ops.integrals import multipole
+    qc = h2o_qc
+    o_ad = np.asarray(eoctupole(qc))
+    # full permutation symmetry
+    np.testing.assert_allclose(o_ad, np.transpose(o_ad, (1, 0, 2)),
+                               atol=1e-8)
+    np.testing.assert_allclose(o_ad, np.transpose(o_ad, (0, 2, 1)),
+                               atol=1e-8)
+
+    dm = np.asarray(qc.aodm())
+    mol = qc.mol
+    eye = np.eye(3, dtype=int)
+    o_ref = np.zeros((3, 3, 3))
+    for a in range(3):
+        for b in range(3):
+            for c in range(3):
+                pw = tuple(int(v) for v in (eye[a] + eye[b] + eye[c]))
+                m = np.asarray(multipole(mol.meta, mol.params, pw))
+                o_ref[a, b, c] = -np.einsum("ij,ij->", dm, m)
+    pos = np.asarray(mol.params["atompos"])
+    zs = np.asarray(mol.atomzs)
+    o_ref += np.einsum("a,ad,ae,af->def", zs, pos, pos, pos)
+    np.testing.assert_allclose(o_ad, o_ref, atol=1e-6)

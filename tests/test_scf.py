@@ -198,3 +198,4 @@ def test_dm2dens_integrates_to_nelectrons():
     rho = np.asarray(qc.dm2dens(gt["coords"]))
     n = float(np.sum(rho * np.asarray(gt["dvol"])))
     assert abs(n - 2.0) < 1e-6, n
+

@@ -203,3 +203,65 @@ def test_vxc_assembly_matches_ad_oracle():
             np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
                                        atol=1e-11,
                                        err_msg=f"{name} pol={pol}")
+
+
+def test_pbe_variant_exchange_limits():
+    """PBEsol / revPBE / RPBE enhancement-factor invariants: LDA limit at
+    s=0; large-s limit 1+kappa; small-s slope = mu (checked against each
+    variant's published constant via the s^2 expansion)."""
+    from dqc_tpu.xc.gga import GGA_X_PBE_SOL, GGA_X_REVPBE, GGA_X_RPBE
+    rho = jnp.asarray([1.0])
+    elda = float(LDA_X().edens_unpol(rho)[0])
+    kf2 = (3.0 * np.pi ** 2) ** (2.0 / 3.0)
+    for xc, kappa, mu in [(GGA_X_PBE_SOL(), 0.804, 10.0 / 81.0),
+                          (GGA_X_REVPBE(), 1.245, 0.2195149727645171),
+                          (GGA_X_RPBE(), 0.804, 0.2195149727645171)]:
+        name = type(xc).__name__
+        e0 = float(xc.edens_unpol(rho, sigma=jnp.asarray([0.0]))[0])
+        assert abs(e0 / elda - 1.0) < 1e-9, name
+        ebig = float(xc.edens_unpol(rho, sigma=jnp.asarray([1e10]))[0])
+        assert abs(ebig / elda - (1.0 + kappa)) < 1e-3, name
+        # small-s expansion F = 1 + mu s^2: sigma = s^2 * 4 kf^2 rho^2
+        s2 = 1e-6
+        esm = float(xc.edens_unpol(rho,
+                                   sigma=jnp.asarray([s2 * 4.0 * kf2]))[0])
+        mu_fit = (esm / elda - 1.0) / s2
+        assert abs(mu_fit - mu) < 1e-4 * mu, (name, mu_fit)
+
+
+def test_pbe_variant_spin_scaling_and_pbesol_c():
+    """Spin-scaling consistency for the new exchange variants; PBEsol
+    correlation keeps the PW92 uniform-gas limit (H(t=0)=0) and differs
+    from PBE correlation at finite gradient (beta 0.046 vs 0.0667)."""
+    from dqc_tpu.xc.gga import (GGA_X_PBE_SOL, GGA_X_REVPBE, GGA_X_RPBE,
+                                GGA_C_PBE_SOL)
+    for xc in (GGA_X_PBE_SOL(), GGA_X_REVPBE(), GGA_X_RPBE(),
+               GGA_C_PBE_SOL()):
+        e_u = xc.edens_unpol(RHO, sigma=SIG)
+        e_p = xc.edens_pol(RHO / 2, RHO / 2, SIG / 4, SIG / 4, SIG / 4)
+        np.testing.assert_allclose(np.asarray(e_u), np.asarray(e_p),
+                                   rtol=1e-10, err_msg=type(xc).__name__)
+    rho = jnp.asarray([0.3])
+    c_sol = GGA_C_PBE_SOL()
+    c_pbe = GGA_C_PBE()
+    e0_sol = float(c_sol.edens_unpol(rho, sigma=jnp.asarray([0.0]))[0])
+    e0_pbe = float(c_pbe.edens_unpol(rho, sigma=jnp.asarray([0.0]))[0])
+    assert abs(e0_sol - e0_pbe) < 1e-12          # same UEG limit
+    eg_sol = float(c_sol.edens_unpol(rho, sigma=jnp.asarray([0.5]))[0])
+    eg_pbe = float(c_pbe.edens_unpol(rho, sigma=jnp.asarray([0.5]))[0])
+    assert abs(eg_sol - eg_pbe) > 1e-4           # beta genuinely differs
+    # small-t expansion of H is beta*t^2: ratio of (e - e0) ~ beta ratio
+    tiny = jnp.asarray([1e-5])
+    r_sol = float(c_sol.edens_unpol(rho, sigma=tiny)[0]) - e0_sol
+    r_pbe = float(c_pbe.edens_unpol(rho, sigma=tiny)[0]) - e0_pbe
+    assert abs(r_sol / r_pbe - 0.046 / 0.06672455060314922) < 1e-3
+
+
+def test_new_named_composites_resolve():
+    from dqc_tpu.xc import get_xc
+    for name, hyb in [("pbesol", 0.0), ("revpbe", 0.0), ("rpbe", 0.0),
+                      ("bhandhlyp", 0.5)]:
+        xc = get_xc(name)
+        assert getattr(xc, "exx_fraction", 0.0) == hyb, name
+        e = xc.edens_unpol(RHO, sigma=SIG)
+        assert np.all(np.isfinite(np.asarray(e))), name
