@@ -273,6 +273,12 @@ class SCF_QCCalc:
                 d = jnp.asarray(d0, dtype=dtype)
                 j, k = jit_jk(d, th)
                 f = np.asarray(jit_rest(d, j, k, th)[0])
+                if not np.all(np.isfinite(f)):
+                    # a non-finite start Fock (f32 overflow in the J/K
+                    # contraction, device fault) would poison every later
+                    # phase; GWH is host-computed from hcore/ovlp and safe
+                    log("SAD initial Fock non-finite; using GWH")
+                    return gwh_fock(th, dtype)
                 log("SAD initial Fock ready")
                 return f.astype(dtype)
             return gwh_fock(th, dtype)
@@ -359,9 +365,20 @@ class SCF_QCCalc:
                            if k != "jk_facs"}
             f = diis_phase(theta32, start_fock(theta32, np.float32),
                            opts.mixed_tol, opts.mixed_maxiter, "f32")
-            dm64 = jnp.asarray(host_dm(f), dtype=jnp.float64)
-            j, k = jit_jk(dm64, theta)
-            f0 = np.asarray(jit_rest(dm64, j, k, theta)[0])
+            if np.all(np.isfinite(f)):
+                dm64 = jnp.asarray(host_dm(f), dtype=jnp.float64)
+                j, k = jit_jk(dm64, theta)
+                f0 = np.asarray(jit_rest(dm64, j, k, theta)[0])
+            else:
+                f0 = np.full(1, np.nan)
+            if not np.all(np.isfinite(f0)):
+                # the f32 warm phase (or the f64 cross-over build) went
+                # non-finite — e.g. theta values past the f32 range, or a
+                # backend fault. Don't let it poison the f64 phase: restart
+                # from a fresh f64 initial Fock.
+                from ..utils.logger import log
+                log("f32 warm phase non-finite; restarting f64 from scratch")
+                f0 = start_fock(theta, np.float64)
         else:
             f0 = start_fock(theta, np.float64)
         if "jk_facs" in theta and "df" in theta:

@@ -10,9 +10,10 @@ from __future__ import annotations
 import re
 
 from .base import BaseXC, HFExchangeXC
-from .lda import LDA_X, LDA_C_PW, LDA_C_VWN5, LDA_C_VWN3
+from .lda import LDA_X, LDA_C_PW, LDA_C_VWN5, LDA_C_VWN3, LDA_C_PZ
 from .gga import (GGA_X_PBE, GGA_C_PBE, GGA_X_B88, GGA_C_LYP,
-                  GGA_X_PBE_SOL, GGA_X_REVPBE, GGA_X_RPBE, GGA_C_PBE_SOL)
+                  GGA_X_PBE_SOL, GGA_X_REVPBE, GGA_X_RPBE, GGA_C_PBE_SOL,
+                  GGA_X_OPTX)
 
 _REGISTRY = {
     "lda_x": LDA_X,
@@ -22,6 +23,8 @@ _REGISTRY = {
     "lda_c_vwn5": LDA_C_VWN5,
     "lda_c_vwn_rpa": LDA_C_VWN3,
     "lda_c_vwn3": LDA_C_VWN3,
+    "lda_c_pz": LDA_C_PZ,
+    "lda_c_pz_mod": LDA_C_PZ,
     "gga_x_pbe": GGA_X_PBE,
     "gga_c_pbe": GGA_C_PBE,
     "gga_x_pbe_sol": GGA_X_PBE_SOL,
@@ -30,6 +33,7 @@ _REGISTRY = {
     "gga_x_rpbe": GGA_X_RPBE,
     "gga_x_b88": GGA_X_B88,
     "gga_c_lyp": GGA_C_LYP,
+    "gga_x_optx": GGA_X_OPTX,
     "hf": HFExchangeXC,
 }
 
@@ -56,6 +60,7 @@ def _named_composites():
         "revpbe": lambda: GGA_X_REVPBE() + GGA_C_PBE(),
         "rpbe": lambda: GGA_X_RPBE() + GGA_C_PBE(),
         "blyp": lambda: GGA_X_B88() + GGA_C_LYP(),
+        "olyp": lambda: GGA_X_OPTX() + GGA_C_LYP(),
         "bhandhlyp": lambda: (0.5 * HFExchangeXC() + 0.5 * GGA_X_B88()
                               + GGA_C_LYP()),
         "svwn": lambda: LDA_X() + LDA_C_VWN5(),

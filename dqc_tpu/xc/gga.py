@@ -167,3 +167,28 @@ class GGA_X_RPBE(GGA_X_PBE):
 class GGA_C_PBE_SOL(GGA_C_PBE):
     """PBEsol correlation: beta = 0.046 (PRL 100, 136406 (2008))."""
     _BETA = 0.046
+
+
+class GGA_X_OPTX(BaseXC):
+    """OPTX exchange (Handy & Cohen, Mol. Phys. 99, 403 (2001)) — libxc
+    gga_x_optx; the exchange half of OLYP. Per-spin:
+    e_s = -ns^{4/3} [a1*Cx + a2*(g*x^2/(1+g*x^2))^2], x = |grad ns|/ns^{4/3}.
+    """
+    family = 2
+    _A1 = 1.05151
+    _A2 = 1.43169
+    _GAM = 0.006
+
+    def _e_spin(self, ns, sigma_ss):
+        n43 = safepow(ns, 4.0 / 3.0, rho_eps(ns))
+        x2 = jnp.maximum(sigma_ss, sig_eps(sigma_ss)) / (n43 * n43)
+        cx = (3.0 / 2.0) * (3.0 / (4.0 * np.pi)) ** (1.0 / 3.0)
+        u = self._GAM * x2 / (1.0 + self._GAM * x2)
+        return -n43 * (self._A1 * cx + self._A2 * u * u)
+
+    def edens_pol(self, rho_u, rho_d, sigma_uu=None, sigma_ud=None,
+                  sigma_dd=None, **kw):
+        return self._e_spin(rho_u, sigma_uu) + self._e_spin(rho_d, sigma_dd)
+
+    def edens_unpol(self, rho, sigma=None, **kw):
+        return 2.0 * self._e_spin(0.5 * rho, 0.25 * sigma)

@@ -112,6 +112,35 @@ class LDA_C_VWN5(BaseXC):
         return rho * _vwn_eps(rs, *self._PARA)
 
 
+class LDA_C_PZ(BaseXC):
+    """Perdew-Zunger 1981 correlation (Ceperley-Alder fit) — libxc
+    lda_c_pz. Parameters from Perdew & Zunger, PRB 23, 5048 (1981),
+    Table XII; spin interpolation ec = ecU + f(zeta)*(ecP - ecU)."""
+    family = 1
+    #      gamma     beta1   beta2    A        B       C        D
+    _U = (-0.1423, 1.0529, 0.3334, 0.0311, -0.048, 0.0020, -0.0116)
+    _P = (-0.0843, 1.3981, 0.2611, 0.01555, -0.0269, 0.0007, -0.0048)
+
+    @staticmethod
+    def _eps(rs, p):
+        g, b1, b2, A, B, C, D = p
+        ln = jnp.log(rs)
+        lo = A * ln + B + C * rs * ln + D * rs
+        hi = g / (1.0 + b1 * jnp.sqrt(rs) + b2 * rs)
+        return jnp.where(rs < 1.0, lo, hi)
+
+    def edens_pol(self, rho_u, rho_d, **kw):
+        n = rho_u + rho_d
+        rs = _rs(n)
+        e0 = self._eps(rs, self._U)
+        e1 = self._eps(rs, self._P)
+        ec = e0 + (e1 - e0) * _fzeta(_zeta(rho_u, rho_d))
+        return n * ec
+
+    def edens_unpol(self, rho, **kw):
+        return rho * self._eps(_rs(rho), self._U)
+
+
 class LDA_C_VWN3(BaseXC):
     """VWN formula III on the RPA fit (libxc lda_c_vwn_rpa — the
     correlation used in Gaussian-convention B3LYP)."""

@@ -265,3 +265,53 @@ def test_new_named_composites_resolve():
         assert getattr(xc, "exx_fraction", 0.0) == hyb, name
         e = xc.edens_unpol(RHO, sigma=SIG)
         assert np.all(np.isfinite(np.asarray(e))), name
+
+
+def test_pz81_correlation():
+    """PZ81 (lda_c_pz): continuous at rs=1, tracks PW92 (both fit the same
+    Ceperley-Alder data; agreement ~1 mHa/electron), correct known value
+    eps_c(rs=1, zeta=0) = -0.0596 Ha (Perdew-Zunger 1981 Table XII)."""
+    from dqc_tpu.xc.lda import LDA_C_PZ, LDA_C_PW
+    pz, pw = LDA_C_PZ(), LDA_C_PW()
+
+    def eps(xc, rs):
+        rho = 3.0 / (4 * np.pi * rs ** 3)
+        return float(xc.edens_unpol(jnp.asarray([rho]))[0]) / rho
+
+    assert abs(eps(pz, 1.0) - (-0.0596)) < 1e-4
+    # continuity at the rs=1 branch switch (the published constants are
+    # rounded; the residual jump is ~3.3e-5 Ha — same in libxc)
+    assert abs(eps(pz, 1.0 - 1e-7) - eps(pz, 1.0 + 1e-7)) < 1e-4
+    for rs in (0.2, 0.5, 2.0, 5.0, 10.0):
+        assert abs(eps(pz, rs) - eps(pw, rs)) < 2.5e-3, rs
+    # polarized consistency + finite grads through both branches
+    e_u = pz.edens_unpol(RHO)
+    e_p = pz.edens_pol(RHO / 2, RHO / 2)
+    np.testing.assert_allclose(np.asarray(e_u), np.asarray(e_p), rtol=1e-10)
+    g = jax.grad(lambda r: jnp.sum(pz.edens_unpol(r)))(RHO)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_optx_exchange():
+    """OPTX (gga_x_optx): sigma=0 limit is a1 * LDA exchange with
+    a1=1.05151 (Handy-Cohen 2001); finite at large gradients with the
+    enhancement bounded by a1*Cx + a2; olyp composite resolves."""
+    from dqc_tpu.xc.gga import GGA_X_OPTX
+    from dqc_tpu.xc import get_xc
+    optx = GGA_X_OPTX()
+    e0 = np.asarray(optx.edens_unpol(RHO, sigma=jnp.zeros_like(RHO)))
+    elda = np.asarray(LDA_X().edens_unpol(RHO))
+    np.testing.assert_allclose(e0, 1.05151 * elda, rtol=1e-10)
+    # x -> inf: u -> 1, so e/n^{4/3} -> -(a1*Cx + a2) per spin
+    rho = jnp.asarray([1.0])
+    ebig = float(optx.edens_unpol(rho, sigma=jnp.asarray([1e12]))[0])
+    cx = 1.5 * (3.0 / (4 * np.pi)) ** (1 / 3)
+    expect = -2.0 * (1.05151 * cx + 1.43169) * 0.5 ** (4 / 3)
+    assert abs(ebig - expect) < 1e-3
+    xc = get_xc("olyp")
+    e = xc.edens_unpol(RHO, sigma=SIG)
+    assert np.all(np.isfinite(np.asarray(e)))
+    # spin-scaling consistency
+    e_u = optx.edens_unpol(RHO, sigma=SIG)
+    e_p = optx.edens_pol(RHO / 2, RHO / 2, SIG / 4, SIG / 4, SIG / 4)
+    np.testing.assert_allclose(np.asarray(e_u), np.asarray(e_p), rtol=1e-10)
