@@ -853,14 +853,31 @@ def sad_dm0(mol, xc="lda_x"):
                 ).hexdigest()[:16]
                 fname = os.path.join(cache_dir, f".sad_{z}_{h}.npy")
             if fname and os.path.exists(fname):
-                cache[key] = np.load(fname)
-            else:
+                loaded = np.load(fname)
+                if np.all(np.isfinite(loaded)):
+                    cache[key] = loaded
+                else:
+                    # a previous run cached a non-finite atomic dm (the
+                    # device atomic SCF NaN'd, observed on the axon TPU);
+                    # drop the poisoned file and recompute
+                    from ..utils.logger import log
+                    log(f"SAD cache {os.path.basename(fname)} is "
+                        "non-finite; recomputing")
+                    os.remove(fname)
+            if key not in cache:
                 amol = Mol((np.array([float(z)]), np.zeros((1, 3))),
                            basis={z: list(ab.bases)}, spin=0,
                            orb_weights=_sad_occ(z, na), grid=1)
                 qa = KS(amol, xc=xc,
                         opts=SCFOptions(mixed=False, guess="gwh")).run()
-                cache[key] = np.asarray(qa.aodm())
+                dm_a = np.asarray(qa.aodm())
+                if not np.all(np.isfinite(dm_a)):
+                    # don't cache the poison — raise so the caller falls
+                    # back to the GWH initial Fock
+                    raise ValueError(
+                        f"SAD atomic SCF for Z={z} returned a non-finite "
+                        "density on this backend")
+                cache[key] = dm_a
                 if fname:
                     np.save(fname, cache[key])
         dm[off:off + na, off:off + na] = cache[key]
