@@ -258,14 +258,18 @@ class SCF_QCCalc:
         def start_fock(th, dtype):
             """Initial Fock: F(dm_SAD) when enabled (typically halves the
             DIIS iteration count vs GWH), else the GWH matrix."""
-            if opts.guess == "sad" and hasattr(self.mol, "atombases"):
+            if (opts.guess == "sad" and hasattr(self.mol, "atombases")
+                    and not getattr(self, "_sad_failed", False)):
                 from ..utils.logger import log
                 d0 = getattr(self, "_sad_dm0", None)
                 if d0 is None:
                     try:
                         d0 = sad_dm0(self.mol)
-                    except Exception as ex:   # exotic Z / basis: fall back
+                    except Exception as ex:   # exotic Z / basis / backend
                         log(f"SAD guess failed ({ex}); using GWH")
+                        # memoize per calc: repeat run()s (e.g. the bench's
+                        # steady-state timing) skip the doomed retry
+                        self._sad_failed = True
                         return gwh_fock(th, dtype)
                     self._sad_dm0 = d0   # per-calc: one set of atomic SCFs
                 if eng.polarized:
@@ -548,8 +552,18 @@ class SCF_QCCalc:
             self._dm, self._theta, self._energy = \
                 jax.jit(_go)(self._all_params(with_fields=False))
         else:
-            theta = self._materialize_theta(
-                self._all_params(with_fields=False), cache_fname)
+            params = self._all_params(with_fields=False)
+            fp = _params_fingerprint(params)
+            theta = (self._theta
+                     if (getattr(self, "_theta_fp", None) == fp
+                         and getattr(self, "_theta", None) is not None)
+                     else None)
+            if theta is None:
+                theta = self._materialize_theta(params, cache_fname)
+                self._theta_fp = fp
+            else:
+                from ..utils.logger import log
+                log("theta reused from the previous run (params unchanged)")
             if use_host_loop:
                 self._dm = self._host_solve(theta)
                 cached = getattr(self, "_last_jk", None)
@@ -815,6 +829,21 @@ def _sad_occ(z: int, nao: int):
     if rem > 1e-9:
         raise ValueError(f"SAD aufbau table too short for Z={z}")
     return jnp.asarray(w[:nao] + [0.0] * (nao - len(w)))
+
+
+def _params_fingerprint(params):
+    """Content hash of the (small) differentiable-params pytree — lets
+    run() reuse the materialized theta across repeat solves of an
+    unchanged system (the re-expansion + integrity probes of the
+    exchange-layout ERI cost minutes at def2-SVP scale)."""
+    import hashlib
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(params):
+        a = np.asarray(leaf)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
 
 
 def sad_dm0(mol, xc="lda_x"):
