@@ -102,8 +102,18 @@ def _combine_index_sign(L1: int, L2: int):
     return IM, sign
 
 
-def coulomb_contract(bra: HermiteFactor, ket: HermiteFactor, block: int = 32):
-    """out[b_batch, b_sph, k_batch, k_sph] = (bra | 1/r12 | ket).
+def coulomb_contract(bra: HermiteFactor, ket: HermiteFactor, block: int = 32,
+                     omega=None):
+    """out[b_batch, b_sph, k_batch, k_sph] = (bra | g(r12) | ket).
+
+    g = 1/r12 (omega=None) or the long-range erf(omega*r12)/r12 kernel:
+    two Gaussian charge distributions with composite exponents p1, p2
+    interact through erf(w r)/r exactly as through 1/r with the reduced
+    exponent theta = p1 p2/(p1+p2) replaced by theta*s and the Boys base
+    scaled by sqrt(s), where s = w^2/(w^2 + theta) — i.e. 1/theta_eff =
+    1/theta + 1/w^2 (the kernel adds one more Gaussian smearing). This
+    serves range-separated hybrids (CAM/LC/HSE-class), which the reference
+    cannot express at all (no hybrid exchange in its KS engine, ks.py).
 
     Chunked over the bra batch axis to bound the Hermite-R memory.
     The R_{H+G} index combination is folded into the ket factor as a static
@@ -130,6 +140,10 @@ def coulomb_contract(bra: HermiteFactor, ket: HermiteFactor, block: int = 32):
         PQ = tuple(Pb[:, :, None, None, d] - ket.P[None, None, :, :, d]
                    for d in range(3))
         pref = TWO_PI_POW_2_5 / (p1 * p2 * jnp.sqrt(p1 + p2))
+        if omega is not None:
+            s = omega * omega / (omega * omega + theta)
+            theta = theta * s
+            pref = pref * jnp.sqrt(s)
         Rs = hermite_R_stacked(Ltot, theta, PQ, scale=pref)  # (B,K1,Q,K2,nht)
         T1 = jnp.einsum("bkqlt,qltHc->bkqHc", Rs, W)
         return jnp.einsum("bkaH,bkqHc->baqc", Hb, T1)
@@ -186,13 +200,16 @@ def screened_pair_classes(meta: BasisMeta, params, thresh: float = 1e-12):
 
 
 def eri_dense(meta: BasisMeta, params, block: int = 16, screened=None,
-              thresh: float = 1e-13):
+              thresh: float = 1e-13, omega=None):
     """Dense (nao, nao, nao, nao) ERI tensor (chemist's (ij|kl)).
 
     Parity: reference intor.elrep (molintor.py:84-93,124-130) incl. the s4->
     dense expansion; here s8-canonical quartets + transpose symmetrization.
     `screened`: output of screened_pair_classes for Schwarz-pruned pair
-    lists (quartets with Q_ab*Q_cd < thresh are dropped wholesale)."""
+    lists (quartets with Q_ab*Q_cd < thresh are dropped wholesale).
+    `omega`: long-range erf(omega*r12)/r12 kernel instead of 1/r12 (the
+    full-range Schwarz bounds remain valid upper bounds: the erf kernel is
+    pointwise dominated by 1/r12)."""
     nao = meta.nao
     if screened is not None:
         pcs = [pc for (pc, q) in screened]
@@ -218,7 +235,8 @@ def eri_dense(meta: BasisMeta, params, block: int = 16, screened=None,
                 # wholesale quartet-group skip if max bound below threshold
                 if float(qlist[gi].max()) * float(qlist[gj].max()) < thresh:
                     continue
-            blk = coulomb_contract(factors[gi], factors[gj], block=block)
+            blk = coulomb_contract(factors[gi], factors[gj], block=block,
+                                   omega=omega)
             # weights for symmetry dedup
             w1 = np.where(diags[gi], 0.5, 1.0)[:, None]
             w2 = np.where(diags[gj], 0.5, 1.0)[None, :]
@@ -263,9 +281,9 @@ def _packed_perm(facs, naux):
     return inv
 
 
-def coul2c(meta_aux: BasisMeta, params_aux, block: int = 64):
-    """(aux_i | 1/r12 | aux_j) -> (naux, naux). Parity: reference coul2c
-    (molintor.py:113-118).
+def coul2c(meta_aux: BasisMeta, params_aux, block: int = 64, omega=None):
+    """(aux_i | g | aux_j) -> (naux, naux), g = 1/r12 or erf(omega r)/r12.
+    Parity: reference coul2c (molintor.py:113-118).
 
     Assembled by class-block concatenation + one permutation instead of
     per-element scatters: element-wise index constants embed O(naux^2)
@@ -278,7 +296,8 @@ def coul2c(meta_aux: BasisMeta, params_aux, block: int = 64):
     for (fa, sta, la) in facs:
         row = []
         for (fb, stb, lb) in facs:
-            blk = coulomb_contract(fa, fb, block=block)  # (na, sa, nb, sb)
+            blk = coulomb_contract(fa, fb, block=block,
+                                   omega=omega)  # (na, sa, nb, sb)
             na, sa = blk.shape[0], blk.shape[1]
             row.append(blk.reshape(na * sa, -1))
         rows.append(jnp.concatenate(row, axis=1))
@@ -287,9 +306,9 @@ def coul2c(meta_aux: BasisMeta, params_aux, block: int = 64):
 
 
 def coul3c(meta: BasisMeta, params, meta_aux: BasisMeta, params_aux,
-           block: int = 16):
-    """(ab | 1/r12 | aux) -> (nao, nao, naux). Parity: reference coul3c
-    (molintor.py:119-123)."""
+           block: int = 16, omega=None):
+    """(ab | g | aux) -> (nao, nao, naux), g = 1/r12 or erf(omega r)/r12.
+    Parity: reference coul3c (molintor.py:119-123)."""
     nao, naux = meta.nao, meta_aux.nao
     facs_aux = _aux_factors(meta_aux, params_aux)
     inv = jnp.asarray(_packed_perm(facs_aux, naux))
@@ -303,7 +322,7 @@ def coul3c(meta: BasisMeta, params, meta_aux: BasisMeta, params_aux,
         w = jnp.asarray(np.where(diag, 0.5, 1.0))
         # all aux classes packed along the last axis, then one permutation;
         # the only scatter-index constant is the (npair*nsph_ab,) pair map
-        blocks = [coulomb_contract(fab, fc, block=block).reshape(
+        blocks = [coulomb_contract(fab, fc, block=block, omega=omega).reshape(
             pc.npair, -1, nc_sh.shape[0] * nsph(lc))
             for (fc, nc_sh, lc) in facs_aux]
         big = jnp.concatenate(blocks, axis=-1)[:, :, inv]

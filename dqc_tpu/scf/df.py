@@ -18,11 +18,16 @@ from ..ops.shellstruct import pack_basis
 from .eigh import safe_eigh
 
 
-def build_df_theta(meta, params, meta_aux, params_aux):
+def build_df_theta(meta, params, meta_aux, params_aux, omega=None):
     """Returns {'j3c': (nao,nao,naux), 'v_inv': (naux,naux)} with
-    v_inv = j2c^{-1} (pseudo-inverse on the kept spectrum)."""
-    j2c = coul2c(meta_aux, params_aux)
-    j3c = coul3c(meta, params, meta_aux, params_aux)
+    v_inv = j2c^{-1} (pseudo-inverse on the kept spectrum).
+
+    omega: fit in the long-range erf(omega*r12)/r12 metric instead of the
+    Coulomb metric — the RI identity holds per-kernel when metric and
+    integrals use the same kernel, so this serves the attenuated exchange
+    of range-separated hybrids (engine._k_lr)."""
+    j2c = coul2c(meta_aux, params_aux, omega=omega)
+    j3c = coul3c(meta, params, meta_aux, params_aux, omega=omega)
     w, v = safe_eigh(j2c)
     keep = w > 1e-12 * w[-1]
     inv_w = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)

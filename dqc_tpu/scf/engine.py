@@ -117,6 +117,16 @@ class HFEngine:
     def dm_tot(self, dm):
         return dm.sum(axis=0) if self.polarized else dm
 
+    def _k_lr(self, theta, dm, i):
+        """Exchange with the long-range erf(omega r)/r kernel (term i of
+        xc.exx_lr). Served by a dense attenuated ERI ("eri_lr{i}") or an
+        attenuated-metric RI fit ("df_lr{i}") — built in qccalc.KS."""
+        key = f"eri_lr{i}"
+        if key in theta:
+            return jnp.einsum("ikjl,...kl->...ij", theta[key], dm)
+        from .df import df_k
+        return df_k(theta[f"df_lr{i}"], dm)
+
     # fock = fock_from_parts(dm, *jk_parts(dm)) — split so the host-driven
     # DIIS can compile the quartet-stream J/K and the rest as separate,
     # much smaller XLA modules (scf/qccalc._host_solve).
@@ -215,10 +225,14 @@ class KSEngine(HFEngine):
             f = f[None] + vxc
             if k is not None:
                 f = f - hyb * k
+            for i, (c, _) in enumerate(self.xc.exx_lr):
+                f = f - c * self._k_lr(theta, dm, i)
         else:
             f = f + vxc
             if k is not None:
                 f = f - 0.5 * hyb * k
+            for i, (c, _) in enumerate(self.xc.exx_lr):
+                f = f - 0.5 * c * self._k_lr(theta, dm, i)
         return f
 
     def fock(self, dm, theta):
@@ -240,6 +254,12 @@ class KSEngine(HFEngine):
                 e = e - 0.5 * hyb * jnp.einsum("sij,sij->", k, dm)
             else:
                 e = e - 0.25 * hyb * jnp.einsum("ij,ij->", k, dm)
+        for i, (c, _) in enumerate(self.xc.exx_lr):
+            klr = self._k_lr(theta, dm, i)
+            if self.polarized:
+                e = e - 0.5 * c * jnp.einsum("sij,sij->", klr, dm)
+            else:
+                e = e - 0.25 * c * jnp.einsum("ij,ij->", klr, dm)
         return e
 
     def energy(self, dm, theta):

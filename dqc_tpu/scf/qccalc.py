@@ -1093,6 +1093,9 @@ def _kpbc_ks(sol, xc, *, restricted=None, opts=None):
     from .pbc import madelung_constant
     if isinstance(xc, str):
         xc = get_xc(xc)
+    if getattr(xc, "exx_lr", ()):
+        raise NotImplementedError(
+            "range-separated exact exchange is molecular-only for now")
     opts = opts or SCFOptions(mixed=False)
     polarized = sol.polarized if restricted is None else (not restricted)
     occ = _occ_array(sol, polarized)
@@ -1153,6 +1156,10 @@ def _pbc_ks(sol, xc, *, restricted=None, opts=None):
                       setup_pbc_grid_theta)
     if isinstance(xc, str):
         xc = get_xc(xc)
+    if getattr(xc, "exx_lr", ()):
+        raise NotImplementedError(
+            "range-separated exact exchange is molecular-only for now "
+            "(PBC exact exchange uses the G-space pair-FT path)")
     opts = opts or SCFOptions()
     polarized = sol.polarized if restricted is None else (not restricted)
     occ = _occ_array(sol, polarized)
@@ -1228,6 +1235,33 @@ def KS(mol, xc="lda_x", *, restricted: Optional[bool] = None,
     parts["grid"] = lambda params: {
         "grid": setup_grid_theta(mol.meta, params["basis"], grid,
                                  family=xc.family)}
+    # range-separated hybrids: one attenuated exchange tensor per distinct
+    # omega (dense erf-kernel ERI, or an attenuated-metric RI fit in DF
+    # mode); engine._k_lr consumes them
+    if xc.exx_lr:
+        if mode == "dense":
+            from ..ops.eri import eri_dense
+            for i, (_, w) in enumerate(xc.exx_lr):
+                parts[f"erilr{i}"] = (lambda params, i=i, w=w: {
+                    f"eri_lr{i}": eri_dense(mol.meta, params["basis"],
+                                            screened=scr, omega=w)})
+        elif mode == "df":
+            from .df import build_df_theta
+            meta_aux, params_aux = dfset
+
+            def _df_lr(params, i, w):
+                pa = dict(params_aux)
+                pa["atompos"] = params["basis"]["atompos"]
+                return {f"df_lr{i}": build_df_theta(
+                    mol.meta, params["basis"], meta_aux, pa, omega=w)}
+            for i, (_, w) in enumerate(xc.exx_lr):
+                parts[f"dflr{i}"] = (lambda params, i=i, w=w:
+                                     _df_lr(params, i, w))
+        else:
+            raise NotImplementedError(
+                "range-separated exact exchange needs the dense-ERI or "
+                "density-fitting J/K path; call mol.densityfit() for "
+                f"systems of this size (mode={mode!r})")
     expand_k = _expand_k_wanted(mol, mode, needs_k=xc.exx_fraction != 0.0)
 
     def build_theta(params):

@@ -20,9 +20,28 @@ from typing import Optional
 import jax.numpy as jnp
 
 
+def _merge_exx_lr(a, b):
+    """Combine ((coef, omega), ...) tuples, summing coefs of equal omegas
+    (each distinct omega costs one attenuated K build in the engine)."""
+    out = list(a)
+    for coef, om in b:
+        for i, (c0, o0) in enumerate(out):
+            if o0 == om:
+                out[i] = (c0 + coef, o0)
+                break
+        else:
+            out.append((coef, om))
+    return tuple((c, o) for (c, o) in out if c != 0.0)
+
+
 class BaseXC:
     family: int = 1
     exx_fraction: float = 0.0   # hybrid exact-exchange weight
+    # range-separated exact exchange: ((coef, omega), ...) adds
+    # coef * K_lr(omega) with the long-range erf(omega r)/r kernel
+    # (CAM-B3LYP-class: exx_fraction=alpha, exx_lr=((beta, omega),);
+    #  HSE-class screened hybrids: exx_fraction=a, exx_lr=((-a, omega),))
+    exx_lr: tuple = ()
 
     def edens_pol(self, rho_u, rho_d, sigma_uu=None, sigma_ud=None,
                   sigma_dd=None, lapl_u=None, lapl_d=None,
@@ -58,6 +77,7 @@ class AddXC(BaseXC):
         self.a, self.b = a, b
         self.family = max(a.family, b.family)
         self.exx_fraction = a.exx_fraction + b.exx_fraction
+        self.exx_lr = _merge_exx_lr(a.exx_lr, b.exx_lr)
 
     def edens_pol(self, *args, **kw):
         return self.a.edens_pol(*args, **kw) + self.b.edens_pol(*args, **kw)
@@ -71,6 +91,7 @@ class MulXC(BaseXC):
         self.a, self.f = a, f
         self.family = a.family
         self.exx_fraction = f * a.exx_fraction
+        self.exx_lr = tuple((f * c, o) for (c, o) in a.exx_lr)
 
     def edens_pol(self, *args, **kw):
         return self.f * self.a.edens_pol(*args, **kw)
@@ -85,6 +106,24 @@ class HFExchangeXC(BaseXC):
     style strings compose (reference getxc.py handles 'hf' the same way)."""
     family = 1
     exx_fraction = 1.0
+
+    def edens_pol(self, rho_u, rho_d, **kw):
+        return jnp.zeros_like(rho_u)
+
+    def edens_unpol(self, rho, **kw):
+        return jnp.zeros_like(rho)
+
+
+class LRHFExchangeXC(BaseXC):
+    """Long-range (erf(omega*r12)/r12 kernel) exact exchange placeholder:
+    contributes only exx_lr; the attenuated K build lives in the SCF
+    engine. Composable: "0.19*hf + 0.46*lr_hf(0.33) + <sr DFT part>" is the
+    CAM-B3LYP exchange split; "0.25*hf + -0.25*lr_hf(0.11) + ..." is the
+    HSE-class screened (short-range-only) exact exchange."""
+    family = 1
+
+    def __init__(self, omega: float):
+        self.exx_lr = ((1.0, float(omega)),)
 
     def edens_pol(self, rho_u, rho_d, **kw):
         return jnp.zeros_like(rho_u)

@@ -9,8 +9,8 @@ from __future__ import annotations
 
 import re
 
-from .base import BaseXC, HFExchangeXC
-from .lda import LDA_X, LDA_C_PW, LDA_C_VWN5, LDA_C_VWN3, LDA_C_PZ
+from .base import BaseXC, HFExchangeXC, LRHFExchangeXC
+from .lda import LDA_X, LDA_C_PW, LDA_C_VWN5, LDA_C_VWN3, LDA_C_PZ, LDA_X_ERF
 from .gga import (GGA_X_PBE, GGA_C_PBE, GGA_X_B88, GGA_C_LYP,
                   GGA_X_PBE_SOL, GGA_X_REVPBE, GGA_X_RPBE, GGA_C_PBE_SOL,
                   GGA_X_OPTX)
@@ -70,6 +70,19 @@ def _named_composites():
     }
 
 
+# range-separation-parameterized functionals: name(omega), e.g.
+# "lr_hf(0.33)" (long-range exact exchange, erf kernel), "sr_hf(0.11)"
+# (= hf - lr_hf: HSE-class screened exact exchange), "lda_x_erf(0.33)"
+# (short-range Slater exchange). These compose into LC/CAM/HSE-class
+# range-separated hybrids — entirely beyond the reference, whose KS engine
+# supports no exact exchange at all (ks.py:176-187).
+_OMEGA_REGISTRY = {
+    "lr_hf": LRHFExchangeXC,
+    "sr_hf": lambda w: HFExchangeXC() + (-1.0) * LRHFExchangeXC(w),
+    "lda_x_erf": LDA_X_ERF,
+}
+
+
 def get_libxc(name: str) -> BaseXC:
     key = name.strip().lower()
     if key in _REGISTRY:
@@ -78,9 +91,13 @@ def get_libxc(name: str) -> BaseXC:
         reg = _mgga_registry()
         if key in reg:
             return reg[key]()
+    m = re.match(r"^([a-z0-9_]+)\(([0-9.eE+-]+)\)$", key)
+    if m and m.group(1) in _OMEGA_REGISTRY:
+        return _OMEGA_REGISTRY[m.group(1)](float(m.group(2)))
     raise NotImplementedError(
         f"XC functional {name!r} not implemented; available: "
-        f"{sorted(_REGISTRY)} + mgga_[xc]_scan, mgga_[xc]_tpss")
+        f"{sorted(_REGISTRY)} + mgga_[xc]_scan, mgga_[xc]_tpss + "
+        f"{sorted(_OMEGA_REGISTRY)} (omega-parameterized, e.g. 'lr_hf(0.33)')")
 
 
 def get_xc(expr) -> BaseXC:
@@ -97,7 +114,8 @@ def get_xc(expr) -> BaseXC:
         term = term.strip()
         if not term:
             continue
-        m = re.match(r"^([0-9.eE+-]+)\s*\*\s*([a-z0-9_]+)$", term)
+        m = re.match(r"^([0-9.eE+-]+)\s*\*\s*"
+                     r"([a-z0-9_]+(?:\([0-9.eE+-]+\))?)$", term)
         if m:
             xc = float(m.group(1)) * get_libxc(m.group(2))
         else:

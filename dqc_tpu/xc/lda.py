@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+from jax.scipy.special import erf as jax_erf
 
 from ..utils.safeops import safepow, rho_eps
 from .base import BaseXC
@@ -160,3 +161,63 @@ class LDA_C_VWN3(BaseXC):
     def edens_unpol(self, rho, **kw):
         rs = _rs(rho)
         return rho * _vwn_eps(rs, *self._PARA)
+
+
+def _erf_attenuation(a):
+    """Short-range attenuation factor F(a) of Slater exchange for the
+    erf-split Coulomb kernel, a = omega / (2 kF):
+
+      F(a) = 1 - (8a/3)[ sqrt(pi) erf(1/(2a)) + (2a - 4a^3) e^{-1/(4a^2)}
+                         - 3a + 4a^3 ]
+
+    (Gill/Adamson; Toulouse & Savin; the SR-LSDA kernel of the HSE-class
+    screened hybrids). The closed form cancels catastrophically for large
+    a (the 4a^3 terms cancel against a ~a^-2 result), so beyond a=6 the
+    asymptotic series F = x^2/9 - x^4/60 + x^6/420 - x^8/3240 (x = 1/(2a))
+    takes over; both branches agree to ~4e-9 relative at the seam and both
+    are evaluated everywhere with clamped inputs (no NaN in dead lanes,
+    see ops/chunks.py rule)."""
+    sqrt_pi = np.sqrt(np.pi)
+    a_s = jnp.clip(a, 1e-12, 6.0)
+    a3 = a_s * a_s * a_s
+    expf = jnp.exp(-1.0 / (4.0 * a_s * a_s))
+    f_exact = 1.0 - (8.0 / 3.0) * a_s * (
+        sqrt_pi * jnp.asarray(jax_erf(0.5 / a_s))
+        + (2.0 * a_s - 4.0 * a3) * expf - 3.0 * a_s + 4.0 * a3)
+    a_l = jnp.maximum(a, 6.0)
+    x2 = 1.0 / (4.0 * a_l * a_l)
+    f_series = x2 * (1.0 / 9.0 + x2 * (-1.0 / 60.0 + x2 * (
+        1.0 / 420.0 - x2 * (1.0 / 3240.0))))
+    return jnp.where(a < 6.0, f_exact, f_series)
+
+
+class LDA_X_ERF(BaseXC):
+    """Short-range Slater exchange for the erf-split kernel (libxc
+    lda_x_erf): per spin channel e = e_x^LDA(rho_s) * F(omega/(2 kF_s)),
+    kF_s = (6 pi^2 rho_s)^(1/3). The complementary long-range exact
+    exchange is base.LRHFExchangeXC(omega): lda_x_erf(w) + lr_hf(w) +
+    <correlation> is an LC-class range-separated hybrid. omega -> 0
+    recovers lda_x; omega -> inf kills the SR part (tested limits,
+    tests/test_rsh.py)."""
+    family = 1
+    _CX = (3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0)
+
+    def __init__(self, omega: float):
+        self.omega = float(omega)
+
+    def _edens_spin(self, rho_s):
+        # exchange spin scaling: E[ru, rd] = (E_unpol[2 ru]+E_unpol[2 rd])/2
+        kf = (6.0 * np.pi ** 2 * jnp.maximum(rho_s, rho_eps(rho_s))) \
+            ** (1.0 / 3.0)
+        f = _erf_attenuation(self.omega / (2.0 * kf))
+        c = self._CX * 2.0 ** (1.0 / 3.0)
+        return -c * safepow(rho_s, 4.0 / 3.0, rho_eps(rho_s)) * f
+
+    def edens_pol(self, rho_u, rho_d, **kw):
+        return self._edens_spin(rho_u) + self._edens_spin(rho_d)
+
+    def edens_unpol(self, rho, **kw):
+        kf = (3.0 * np.pi ** 2 * jnp.maximum(rho, rho_eps(rho))) \
+            ** (1.0 / 3.0)
+        f = _erf_attenuation(self.omega / (2.0 * kf))
+        return -self._CX * safepow(rho, 4.0 / 3.0, rho_eps(rho)) * f
