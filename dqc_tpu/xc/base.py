@@ -26,7 +26,9 @@ def _merge_exx_lr(a, b):
     out = list(a)
     for coef, om in b:
         for i, (c0, o0) in enumerate(out):
-            if o0 == om:
+            # tolerance merge: omegas equal up to rounding (e.g. produced
+            # by arithmetic) must share one attenuated ERI/DF build
+            if abs(o0 - om) <= 1e-12 * max(abs(o0), abs(om), 1.0):
                 out[i] = (c0 + coef, o0)
                 break
         else:

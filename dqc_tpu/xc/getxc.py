@@ -13,7 +13,7 @@ from .base import BaseXC, HFExchangeXC, LRHFExchangeXC
 from .lda import LDA_X, LDA_C_PW, LDA_C_VWN5, LDA_C_VWN3, LDA_C_PZ, LDA_X_ERF
 from .gga import (GGA_X_PBE, GGA_C_PBE, GGA_X_B88, GGA_C_LYP,
                   GGA_X_PBE_SOL, GGA_X_REVPBE, GGA_X_RPBE, GGA_C_PBE_SOL,
-                  GGA_X_OPTX)
+                  GGA_X_OPTX, GGA_X_ITYH_B88)
 
 _REGISTRY = {
     "lda_x": LDA_X,
@@ -63,6 +63,22 @@ def _named_composites():
         "olyp": lambda: GGA_X_OPTX() + GGA_C_LYP(),
         "bhandhlyp": lambda: (0.5 * HFExchangeXC() + 0.5 * GGA_X_B88()
                               + GGA_C_LYP()),
+        # CAM-B3LYP (Yanai, Tew, Handy CPL 393, 51 (2004); libxc
+        # hyb_gga_xc_cam_b3lyp): exact-exchange profile a(r12) = alpha +
+        # beta*erf(omega r12) with alpha=0.19, beta=0.46, omega=0.33; the
+        # DFT-exchange complement is (1-alpha-beta)*B88 + beta*SR-B88
+        # (ITYH attenuation); correlation 0.19 VWN5 + 0.81 LYP
+        "camb3lyp": lambda: (0.19 * HFExchangeXC()
+                             + 0.46 * LRHFExchangeXC(0.33)
+                             + 0.35 * GGA_X_B88()
+                             + 0.46 * GGA_X_ITYH_B88(0.33)
+                             + 0.19 * LDA_C_VWN5() + 0.81 * GGA_C_LYP()),
+        "cam-b3lyp": lambda: _named_composites()["camb3lyp"](),
+        # LC-BLYP (libxc hyb_gga_xc_lc_blyp, omega=0.30): pure long-range
+        # correction — 100% LR exact exchange + SR-B88 + LYP
+        "lc-blyp": lambda: (LRHFExchangeXC(0.30)
+                            + GGA_X_ITYH_B88(0.30) + GGA_C_LYP()),
+        "lc_blyp": lambda: _named_composites()["lc-blyp"](),
         "svwn": lambda: LDA_X() + LDA_C_VWN5(),
         "scan": lambda: get_libxc("mgga_x_scan") + get_libxc("mgga_c_scan"),
         "tpss": lambda: get_libxc("mgga_x_tpss") + get_libxc("mgga_c_tpss"),
@@ -80,6 +96,9 @@ _OMEGA_REGISTRY = {
     "lr_hf": LRHFExchangeXC,
     "sr_hf": lambda w: HFExchangeXC() + (-1.0) * LRHFExchangeXC(w),
     "lda_x_erf": LDA_X_ERF,
+    # short-range (erfc) B88 via the ITYH exchange-hole attenuation —
+    # the DFT-exchange complement for CAM/LC-class hybrids
+    "gga_x_ityh_b88": GGA_X_ITYH_B88,
 }
 
 
@@ -93,7 +112,12 @@ def get_libxc(name: str) -> BaseXC:
             return reg[key]()
     m = re.match(r"^([a-z0-9_]+)\(([0-9.eE+-]+)\)$", key)
     if m and m.group(1) in _OMEGA_REGISTRY:
-        return _OMEGA_REGISTRY[m.group(1)](float(m.group(2)))
+        try:
+            omega = float(m.group(2))
+        except ValueError:
+            omega = None   # malformed omega (e.g. '0.3.3') -> not-impl msg
+        if omega is not None:
+            return _OMEGA_REGISTRY[m.group(1)](omega)
     raise NotImplementedError(
         f"XC functional {name!r} not implemented; available: "
         f"{sorted(_REGISTRY)} + mgga_[xc]_scan, mgga_[xc]_tpss + "
@@ -108,9 +132,21 @@ def get_xc(expr) -> BaseXC:
     named = _named_composites()
     if s in named:
         return named[s]()
-    # expression: terms like "0.25*hf + 0.75*gga_x_b88" or "lda_x+lda_c_pw"
+    # expression: terms like "0.25*hf + 0.75*gga_x_b88" or "lda_x+lda_c_pw".
+    # Split on '+' only at paren depth 0 so omegas written in exponent-plus
+    # notation ('lr_hf(1e+4)') survive intact.
+    terms, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "+" and depth == 0:
+            terms.append(s[start:i])
+            start = i + 1
+    terms.append(s[start:])
     out = None
-    for term in s.split("+"):
+    for term in terms:
         term = term.strip()
         if not term:
             continue

@@ -103,6 +103,41 @@ class GGA_X_B88(BaseXC):
         return 2.0 * self._e_spin(0.5 * rho, 0.25 * sigma)
 
 
+class GGA_X_ITYH_B88(GGA_X_B88):
+    """Short-range (erfc-complement) B88 exchange via the
+    Iikura-Tsuneda-Yanai-Hirao attenuation (JCP 115, 3540 (2001), eqs 4-8;
+    libxc gga_x_ityh). Building block for CAM-B3LYP / LC-BLYP-class
+    range-separated hybrids — beyond the reference, whose KS engine has no
+    exact exchange at all (/root/reference/dqc/qccalc/ks.py:176-187).
+
+    Per spin: E_x^SR = sum_s int e_s(n_s, sigma_ss) F(a_s), with the GGA
+    exchange written e_s = -(1/2) n_s^{4/3} K_s, a_s = w sqrt(K_s) /
+    (6 sqrt(pi) n_s^{1/3}), and the exchange-hole attenuation factor
+    F(a) = 1 - (8/3) a [sqrt(pi) erf(1/(2a)) - 3a + 4a^3
+                        + (2a - 4a^3) exp(-1/(4a^2))]."""
+
+    def __init__(self, omega: float):
+        self.omega = float(omega)
+
+    @staticmethod
+    def _att(a):
+        from jax.scipy.special import erf
+        a = jnp.maximum(a, 1e-10)          # a->0 limit is F=1 (full B88)
+        inv2a = 1.0 / (2.0 * a)
+        expo = jnp.exp(-jnp.minimum(inv2a * inv2a, 700.0))
+        br = (jnp.sqrt(jnp.pi) * erf(inv2a) - 3.0 * a + 4.0 * a ** 3
+              + (2.0 * a - 4.0 * a ** 3) * expo)
+        return jnp.clip(1.0 - (8.0 / 3.0) * a * br, 0.0, 1.0)
+
+    def _e_spin(self, ns, sigma_ss):
+        e_full = GGA_X_B88._e_spin(self, ns, sigma_ss)
+        n43 = safepow(ns, 4.0 / 3.0, rho_eps(ns))
+        n13 = safepow(ns, 1.0 / 3.0, rho_eps(ns))
+        k = jnp.maximum(-2.0 * e_full / n43, 1e-15)
+        a = self.omega * jnp.sqrt(k) / (6.0 * jnp.sqrt(jnp.pi) * n13)
+        return e_full * self._att(a)
+
+
 class GGA_C_LYP(BaseXC):
     family = 2
     _A, _B, _C, _D = 0.04918, 0.132, 0.2533, 0.349

@@ -202,3 +202,89 @@ def test_rsh_pbc_raises():
     sol = Sol("H 0 0 0", alattice=np.eye(3) * 3.0, basis="sto-3g")
     with pytest.raises(NotImplementedError):
         dqc_tpu.KS(sol, xc="lda_x_erf(0.3) + 1*lr_hf(0.3)")
+
+
+def test_ityh_b88_limits():
+    """SR-B88 (ITYH attenuation): omega->0 recovers full B88; omega->inf
+    kills the energy density; monotone decrease in omega."""
+    from dqc_tpu.xc.gga import GGA_X_B88, GGA_X_ITYH_B88
+    rho = jnp.asarray([1e-3, 0.02, 0.5, 3.0, 40.0])
+    sig = jnp.asarray([1e-6, 1e-3, 0.3, 10.0, 2000.0])
+    e_full = GGA_X_B88().edens_unpol(rho, sig)
+    e_w0 = GGA_X_ITYH_B88(1e-7).edens_unpol(rho, sig)
+    np.testing.assert_allclose(np.asarray(e_w0), np.asarray(e_full),
+                               rtol=1e-6)
+    e_big = GGA_X_ITYH_B88(1e5).edens_unpol(rho, sig)
+    assert np.abs(np.asarray(e_big)).max() < 1e-4 * np.abs(
+        np.asarray(e_full)).max()
+    last = e_full
+    for w in (0.2, 0.5, 1.5, 5.0):
+        e_w = GGA_X_ITYH_B88(w).edens_unpol(rho, sig)
+        assert np.all(np.asarray(e_w) >= np.asarray(last) - 1e-14)  # less negative
+        last = e_w
+
+
+def test_ityh_b88_sr_lda_consistency():
+    """With sigma->0 the ITYH-attenuated B88 must reduce to the exact
+    short-range Slater exchange lda_x_erf(w): same attenuation factor,
+    and the ITYH a = w sqrt(K)/(6 sqrt(pi) n^(1/3)) collapses onto
+    w/(2 kF) at the LDA enhancement."""
+    from dqc_tpu.xc.gga import GGA_X_ITYH_B88
+    from dqc_tpu.xc.lda import LDA_X_ERF
+    rho = jnp.asarray([1e-3, 0.05, 0.7, 5.0, 80.0])
+    sig = jnp.full_like(rho, 1e-14)
+    w = 0.4
+    e_sr_ityh = GGA_X_ITYH_B88(w).edens_unpol(rho, sig)
+    e_sr_lda = LDA_X_ERF(w).edens_unpol(rho)
+    np.testing.assert_allclose(np.asarray(e_sr_ityh),
+                               np.asarray(e_sr_lda), rtol=2e-5)
+
+
+def test_cam_b3lyp_assembles_and_limits():
+    """camb3lyp composite: exx profile 0.19 + 0.46*erf(0.33 r); at
+    omega->0 the same CAM algebra must collapse onto the global hybrid
+    0.19*HF + 0.81*B88 + 0.19*VWN5 + 0.81*LYP (SCF-level equality)."""
+    xc = get_xc("camb3lyp")
+    assert abs(xc.exx_fraction - 0.19) < 1e-12
+    assert len(xc.exx_lr) == 1
+    (coef, om), = xc.exx_lr
+    assert abs(coef - 0.46) < 1e-12 and abs(om - 0.33) < 1e-12
+
+    desc = "H -0.7 0 0; H 0.7 0 0"
+    cam0 = ("0.19*hf + 0.46*lr_hf(1e-7) + 0.35*gga_x_b88 "
+            "+ 0.46*gga_x_ityh_b88(1e-7) + 0.19*lda_c_vwn5 "
+            "+ 0.81*gga_c_lyp")
+    glob = ("0.19*hf + 0.81*gga_x_b88 + 0.19*lda_c_vwn5 "
+            "+ 0.81*gga_c_lyp")
+    e0 = float(dqc_tpu.KS(Mol(desc, basis="3-21g", grid=1),
+                          xc=cam0).run().energy())
+    e1 = float(dqc_tpu.KS(Mol(desc, basis="3-21g", grid=1),
+                          xc=glob).run().energy())
+    assert abs(e0 - e1) < 5e-7
+
+
+def test_cam_b3lyp_h2o_scf_runs():
+    """End-to-end CAM-B3LYP SCF (dense path) converges and sits in a
+    physically sane window bracketing B3LYP."""
+    desc = "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867"
+    qc = dqc_tpu.KS(Mol(desc, basis="sto-3g", grid=1), xc="camb3lyp").run()
+    e_cam = float(qc.energy())
+    e_b3 = float(dqc_tpu.KS(Mol(desc, basis="sto-3g", grid=1),
+                            xc="b3lyp5").run().energy())
+    assert abs(e_cam - e_b3) < 0.2 and e_cam < -74.0
+
+
+def test_lr_exchange_polarized_consistency():
+    """Open-shell LR-exchange paths (engine.py fock_from_parts /
+    energy_from_parts polarized branches): (a) restricted vs unrestricted
+    LC-LDA on closed-shell H2 agree; (b) doublet H runs finite."""
+    desc = "H -0.7 0 0; H 0.7 0 0"
+    xc = "lda_x_erf(0.4) + 1*lr_hf(0.4) + lda_c_pw"
+    e_r = float(dqc_tpu.KS(Mol(desc, basis="3-21g", grid=1),
+                           xc=xc).run().energy())
+    e_u = float(dqc_tpu.KS(Mol(desc, basis="3-21g", grid=1),
+                           xc=xc, restricted=False).run().energy())
+    assert abs(e_r - e_u) < 1e-8
+    qc_h = dqc_tpu.KS(Mol("H 0 0 0", basis="3-21g", spin=1, grid=1),
+                      xc=xc).run()
+    assert np.isfinite(float(qc_h.energy()))
