@@ -46,6 +46,11 @@ class SCFOptions(NamedTuple):
     # spherically-averaged atomic LDA densities (beyond the reference's
     # core guess), "gwh" = generalized Wolfsberg-Helmholtz Fock.
     guess: str = "sad"
+    # in-graph DIIS stall guard: stop when the error has not improved for
+    # this many iterations (the loop then returns the BEST iterate seen,
+    # not the last) — essential when tol sits below the precision floor
+    # of the phase (f32 warm phases, device eigh floors). 0 = disabled.
+    diis_patience: int = 12
 
 
 def _flat(x):
@@ -76,7 +81,7 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
     r_dtype = jnp.finfo(f0_flat.dtype).dtype
 
     def body(state):
-        it, ff, fhist, ehist, nfill, _ = state
+        it, ff, fhist, ehist, nfill, _, best_ff, best_err, best_it = state
         f_new, e_new = step_flat(ff)
         if opts.damping > 0.0:
             f_new = (1.0 - opts.damping) * f_new + opts.damping * ff
@@ -111,17 +116,35 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         f_diis = c @ fhist
         use_diis = (it + 1 >= opts.diis_start)
         ff_next = jnp.where(use_diis, f_diis, f_new)
-        return (it + 1, ff_next, fhist, ehist, nfill, errnorm)
+        # best-iterate tracking: a diverging extrapolation (f32 floors,
+        # ill-conditioned B near convergence) must not discard the best
+        # state seen; non-finite iterates never become "best"
+        improved = jnp.isfinite(errnorm) & (errnorm < best_err)
+        best_ff = jnp.where(improved, f_new, best_ff)
+        best_err = jnp.where(improved, errnorm, best_err)
+        best_it = jnp.where(improved, it, best_it)
+        # a non-finite iterate poisons the history; freeze on the best
+        bad = ~jnp.isfinite(errnorm)
+        ff_next = jnp.where(bad, best_ff, ff_next)
+        errnorm = jnp.where(bad, jnp.asarray(jnp.inf, errnorm.dtype),
+                            errnorm)
+        return (it + 1, ff_next, fhist, ehist, nfill, errnorm,
+                best_ff, best_err, best_it)
 
     def cond(state):
-        it, _, _, _, _, errnorm = state
-        return (it < opts.maxiter) & (errnorm > opts.tol)
+        it, _, _, _, _, errnorm, _, best_err, best_it = state
+        go = (it < opts.maxiter) & (best_err > opts.tol)
+        if opts.diis_patience > 0:
+            go = go & (it - best_it <= opts.diis_patience)
+        return go
 
     fhist0 = jnp.zeros((H, n), dtype=f0_flat.dtype)
     ehist0 = jnp.zeros((H, ne), dtype=e_dtype)
-    state0 = (0, f0_flat, fhist0, ehist0, 0, jnp.asarray(1e9, r_dtype))
-    it, ff, _, _, _, errnorm = jax.lax.while_loop(cond, body, state0)
-    return unravel(ff), it, errnorm
+    state0 = (0, f0_flat, fhist0, ehist0, 0, jnp.asarray(1e9, r_dtype),
+              f0_flat, jnp.asarray(jnp.inf, r_dtype), 0)
+    out = jax.lax.while_loop(cond, body, state0)
+    it, best_ff, best_err = out[0], out[6], out[7]
+    return unravel(best_ff), it, best_err
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(0, 1))

@@ -290,7 +290,7 @@ class SCF_QCCalc:
             return gwh_fock(th, dtype)
 
         def diis_phase(th, f0, tol, maxiter, tag, iter_fn=None, patience=12,
-                       corr=None):
+                       corr=None, acc=None):
             import time as _time
             from ..utils.logger import log
             if iter_fn is None and corr is not None:
@@ -316,9 +316,10 @@ class SCF_QCCalc:
             # known remote-AOT-compiler killer.
             if ("jk_facs" not in th
                     and os.environ.get("DQC_TPU_DEVICE_PHASE", "1") != "0"):
-                out = self._device_phase(th, f, tol, maxiter, tag, corr)
+                out = self._device_phase(th, f, tol, maxiter, tag, corr,
+                                         acc=acc)
                 if out is not None:
-                    f = out
+                    f = out.astype(f0.dtype) if hasattr(f0, "dtype") else out
             fhist, ehist = [], []
             best_err, best_f, best_it = np.inf, f, -1
             for it in range(maxiter):
@@ -399,8 +400,10 @@ class SCF_QCCalc:
             if "jk_facs" in theta32 and "df" in theta32:
                 theta32 = {k: v for k, v in theta32.items()
                            if k != "jk_facs"}
+            acc64 = {k_: theta[k_] for k_ in ("X", "keep", "occ", "ovlp")}
             f = diis_phase(theta32, start_fock(theta32, np.float32),
-                           opts.mixed_tol, opts.mixed_maxiter, "f32")
+                           opts.mixed_tol, opts.mixed_maxiter, "f32",
+                           acc=acc64)
             if np.all(np.isfinite(f)):
                 dm64 = jnp.asarray(host_dm(f), dtype=jnp.float64)
                 j, k = jit_jk(dm64, theta)
@@ -493,7 +496,8 @@ class SCF_QCCalc:
                            f"dual{outer}", patience=4, corr=(dj, dk))
         return best[1], best[2], best[3]
 
-    def _device_phase(self, th, f0, tol, maxiter, tag, corr=None):
+    def _device_phase(self, th, f0, tol, maxiter, tag, corr=None,
+                      acc=None):
         """Run one DIIS phase as a single on-device while_loop dispatch.
 
         Returns the phase's final Fock as a host float64 array, or None if
@@ -503,20 +507,52 @@ class SCF_QCCalc:
         host loop that follows owns the final LAPACK-f64 convergence
         criterion, so a device stall above `tol` only costs iterations,
         never accuracy. `corr`: optional frozen (dj, dk) Fock corrections
-        (the dual-level exact polish inner loops, _dual_level_phase)."""
+        (the dual-level exact polish inner loops, _dual_level_phase).
+        `acc`: optional f64 accuracy dict {X, keep, occ, ovlp} enabling
+        the MIXED stepper for f32 warm phases — eigh + DIIS-error metric
+        in f64 while J/K + vxc stay f32 (MXU speed). Pure-f32 eigh puts a
+        ~1e-3 floor on the commutator and the in-graph DIIS diverges at
+        a 3e-5 target (measured on the first device-phase bench run);
+        this mirrors the precision split that makes the HOST f32 phase
+        work (host_dm is LAPACK f64)."""
         import time as _time
         from ..utils.logger import log
         eng = self.engine
         cache = self.__dict__.setdefault("_dev_phase_cache", {})
         has_corr = corr is not None
         has_dk = has_corr and corr[1] is not None
-        key = (float(tol), int(maxiter), has_corr, has_dk)
+        mixed = acc is not None
+        # canonical purification replaces the in-loop eigh when the
+        # occupation pattern is integer aufbau (scf/purify.py): the TPU's
+        # emulated f64 eigh costs ~0.3 s/call at nao~114 and dominated
+        # the device iteration; purification is ~40 MXU matmuls (sub-ms)
+        # AND reaches a deeper commutator floor than the polished eigh
+        occ_np = np.asarray((acc if mixed else th)["occ"])
+        fmx = occ_np.max(axis=-1, keepdims=True)
+        aufbau = bool(fmx.max() > 0
+                      and np.all((occ_np == 0) | (occ_np == fmx)))
+        purify = aufbau and os.environ.get("DQC_TPU_PURIFY", "1") != "0"
+        # device floors: polished f64 eigh bottoms out ~1e-9; don't let
+        # the while_loop spin to maxiter against an unreachable tol —
+        # the stall guard (diis_patience) exits on the best iterate
+        tol_dev = tol if (mixed or purify) else max(tol, 1e-9)
+        key = (float(tol_dev), int(maxiter), has_corr, has_dk, mixed,
+               purify)
         fn = cache.get(key)
         if fn is None:
-            opts = self.opts._replace(tol=tol, maxiter=maxiter, mixed=False)
+            opts = self.opts._replace(tol=tol_dev, maxiter=maxiter,
+                                      mixed=False, diis_patience=8)
+            if purify:
+                from .purify import fock_to_dm_purify
+
+                def dm_fn(f, thd):
+                    return fock_to_dm_purify(f, thd["X"], thd["keep"],
+                                             thd["occ"])
+            else:
+                dm_fn = eng.dm_from_fock
 
             def stepper(f, thd, dj, dk):
-                dm = eng.dm_from_fock(f, thd)
+                dm = dm_fn(f, thd)
                 j, k = eng.jk_parts(dm, thd)
                 if dj is not None:
                     j = j + dj
@@ -525,7 +561,19 @@ class SCF_QCCalc:
                 f_new = eng.fock_from_parts(dm, j, k, thd)
                 return f_new, eng.diis_err(f_new, dm, thd)
 
-            if has_dk:
+            def stepper_mixed(f, thd, accd):
+                dm = dm_fn(f, accd)            # f64 purify/eigh, f64 X
+                dm32 = dm.astype(jnp.float32)
+                j, k = eng.jk_parts(dm32, thd)          # f32 MXU
+                f_new = eng.fock_from_parts(dm32, j, k, thd).astype(
+                    jnp.float64)
+                return f_new, eng.diis_err(f_new, dm, accd)   # f64 metric
+
+            if mixed:
+                def run(ff, thd, accd):
+                    return diis_solve(
+                        lambda f: stepper_mixed(f, thd, accd), ff, opts)
+            elif has_dk:
                 def run(ff, thd, dj, dk):
                     return diis_solve(
                         lambda f: stepper(f, thd, dj, dk), ff, opts)
@@ -541,9 +589,12 @@ class SCF_QCCalc:
             cache[key] = fn
         t0 = _time.perf_counter()
         try:
-            args = ((jnp.asarray(f0), th, corr[0], corr[1]) if has_dk
-                    else (jnp.asarray(f0), th, corr[0]) if has_corr
-                    else (jnp.asarray(f0), th))
+            f0d = jnp.asarray(np.asarray(f0, dtype=np.float64)) if mixed \
+                else jnp.asarray(f0)
+            args = ((f0d, th, acc) if mixed
+                    else (f0d, th, corr[0], corr[1]) if has_dk
+                    else (f0d, th, corr[0]) if has_corr
+                    else (f0d, th))
             f, it, err = fn(*args)
             f = np.asarray(f, dtype=np.float64)
             it, err = int(it), float(err)
@@ -551,7 +602,8 @@ class SCF_QCCalc:
             log(f"device-DIIS[{tag}] failed ({ex!r}); host loop takes over")
             return None
         dt = _time.perf_counter() - t0
-        log(f"device-DIIS[{tag}] it={it} err={err:.3e} dt={dt:.3f}s")
+        log(f"device-DIIS[{tag}] it={it} err={err:.3e} dt={dt:.3f}s"
+            f"{' [purify]' if purify else ''}{' [mixed]' if mixed else ''}")
         pt = getattr(self, "_phase_times", None)
         if pt is not None:
             pt[f"dev:{tag}"] = round(pt.get(f"dev:{tag}", 0.0) + dt, 3)

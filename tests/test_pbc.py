@@ -443,3 +443,43 @@ def test_noncubic_321g_kpoint_supercell_invariant():
     s2 = Sol(desc2, A2, basis="3-21g", grid="sg2")
     e_sc = float(dqc_tpu.KS(s2, xc="lda_x").run().energy())
     assert abs(e_k - e_sc / 2) < 1e-5
+
+
+def test_aft_gcut_convergence_steep_core():
+    """PBC stress edge (VERDICT r2): a steep-core basis in a compact
+    triclinic cell must be CONVERGED w.r.t. the plane-wave G cutoff at the
+    default precision — tightening precision 1e-9 -> 1e-12 (which grows
+    the G grid ~ (ln 1/prec)^{3/2}) may move hcore/J only below the SCF
+    tolerance scale. Guards ops/pbcft.gcut_estimate against steep
+    exponents, where PW cutoffs scale worst (reference GDF handles these
+    with compensating Gaussians, df/dfpbc.py:39-160)."""
+    import numpy as np
+    from dqc_tpu.utils.datastruct import CGTOBasis
+    from dqc_tpu.scf.pbc import build_pbc_core_theta
+    from dqc_tpu.ops.pbcft import gcut_estimate
+
+    # steep 2-term core + diffuse valence on He in a tilted compact cell
+    shells = [CGTOBasis(0, np.array([250.0, 6.0]), np.array([0.2, 0.8])),
+              CGTOBasis(0, np.array([0.5]), np.array([1.0]))]
+    latt = np.array([[3.0, 0.0, 0.0],
+                     [0.9, 2.8, 0.0],
+                     [0.4, 0.7, 3.2]])
+    sol = Sol(([2], [[0.1, 0.2, 0.3]]), basis=[shells], alattice=latt)
+    gcut9 = gcut_estimate(sol.meta, sol.params, 1e-9)
+    gcut12 = gcut_estimate(sol.meta, sol.params, 1e-12)
+    assert gcut12 > gcut9 > 10.0   # steep core really does push the cutoff
+
+    th9 = build_pbc_core_theta(sol, sol.params, sol.atomzs,
+                               precision=1e-9)
+    th12 = build_pbc_core_theta(sol, sol.params, sol.atomzs,
+                                precision=1e-12)
+    dh = np.abs(np.asarray(th9["hcore"]) - np.asarray(th12["hcore"])).max()
+    assert dh < 1e-6, dh
+    # Coulomb matrix at a normalized reference density
+    from dqc_tpu.ops.pbcft import aft_j
+    nao = sol.meta.nao
+    s = np.asarray(th12["ovlp"])
+    dm = np.linalg.inv(s) * 2.0 / nao   # Tr(D S) = 2 electrons
+    j9 = np.asarray(aft_j(th9["pbcft"], jnp.asarray(dm)))
+    j12 = np.asarray(aft_j(th12["pbcft"], jnp.asarray(dm)))
+    assert np.abs(j9 - j12).max() < 1e-6

@@ -180,6 +180,52 @@ def test_frac_z_continuity():
     assert abs(e_el(1.0 + 1e-2) - e_int) > 1e-4
 
 
+def test_frac_z_negative_side():
+    """Approach an integer Z from below (reference test_rks_frac_energy's
+    ene2e/ene2ne pin, test_ks.py:513-517): z = 3 - 1e-4 rounds to the Li
+    basis and the electron energy must sit within rtol 3e-4 of z = 3."""
+    def e_el(z):
+        mol = Mol(([z, z], [[-0.5, 0, 0], [0.5, 0, 0]]), basis="3-21G",
+                  spin=0, grid=2)
+        qc = dqc_tpu.KS(mol, xc="lda_x").run()
+        return float(qc.energy()) - float(mol.get_nuclei_energy())
+
+    e3 = e_el(3)
+    e3m = e_el(3 - 1e-4)
+    assert abs(e3m - e3) < 3e-4 * abs(e3)
+
+
+def test_frac_z_gradient_fd():
+    """dE/dZ and the Z-Hessian diagonal at fractional nuclear charges vs
+    central finite differences (reference test_rks_frac_energy_grad's
+    gradcheck + gradgradcheck, test_ks.py:521-533) — both derivatives run
+    through the implicit SCF fixed point."""
+    mol = Mol(([1.1, 1.15], [[-0.5, 0, 0], [0.5, 0, 0]]), basis="3-21G",
+              spin=0, grid=1)
+    qc = dqc_tpu.KS(mol, xc="lda_x")
+    p0 = qc._all_params()
+
+    @jax.jit
+    def e_of_z(zs):
+        p = dict(p0)
+        p["atomzs"] = zs
+        return qc.energy_fn(p)
+
+    z0 = p0["atomzs"]
+    g = jax.jit(jax.grad(e_of_z))(z0)
+    h = 1e-4
+    for i in range(2):
+        fd = (e_of_z(z0.at[i].add(h)) - e_of_z(z0.at[i].add(-h))) / (2 * h)
+        assert abs(float(g[i]) - float(fd)) < 1e-6, i
+    # second derivative (gradgradcheck parity): FD of the exact gradient
+    hess = jax.jit(jax.hessian(e_of_z))(z0)
+    gp = jax.jit(jax.grad(e_of_z))(z0.at[0].add(h))
+    gm = jax.jit(jax.grad(e_of_z))(z0.at[0].add(-h))
+    fd_h = (np.asarray(gp) - np.asarray(gm)) / (2 * h)
+    assert abs(float(hess[0, 0]) - fd_h[0]) < 1e-5
+    assert abs(float(hess[0, 1]) - fd_h[1]) < 1e-5
+
+
 def test_variational_matches_scf():
     """SCF (DIIS) and variational (orbital-rotation BFGS) agree — the
     backend-free consistency invariant from the reference's two solution

@@ -315,3 +315,54 @@ def test_optx_exchange():
     e_u = optx.edens_unpol(RHO, sigma=SIG)
     e_p = optx.edens_pol(RHO / 2, RHO / 2, SIG / 4, SIG / 4, SIG / 4)
     np.testing.assert_allclose(np.asarray(e_u), np.asarray(e_p), rtol=1e-10)
+
+
+def test_third_derivative_fd_accuracy():
+    """3rd-order functional derivatives (kxc level) are not just finite
+    but CORRECT: d^3 e/d rho^3 from nested AD vs central FD of the exact
+    2nd derivative, per family (reference parity: libxc deriv tables to
+    4th order, xc/libxc_wrapper.py:76-373)."""
+    cases = [
+        ("lda_x", {}),
+        ("lda_c_pw", {}),
+        ("gga_x_pbe", {"sigma": 0.37}),
+        ("gga_c_lyp", {"sigma": 0.37}),
+        ("gga_x_b88", {"sigma": 0.37}),
+        ("mgga_x_scan", {"sigma": 0.37, "tau": 0.8}),
+    ]
+    for name, kw in cases:
+        xc = get_xc(name)
+
+        def f(r):
+            kws = {k: jnp.asarray([v]) for k, v in kw.items()}
+            if xc.family >= 4:
+                kws["lapl"] = jnp.zeros((1,))
+            return xc.edens_unpol(jnp.asarray([r]), **kws)[0]
+
+        d2 = jax.grad(jax.grad(f))
+        d3 = jax.grad(d2)
+        for r0 in (0.3, 1.1, 4.0):
+            h = 1e-4 * r0
+            fd = (d2(r0 + h) - d2(r0 - h)) / (2 * h)
+            ad = d3(r0)
+            assert np.isfinite(float(ad)), (name, r0)
+            denom = max(abs(float(fd)), 1e-10)
+            assert abs(float(ad) - float(fd)) / denom < 1e-5, (name, r0)
+
+
+def test_fourth_derivative_finite():
+    """lxc-level (4th) derivatives stay finite — the full derivative
+    order libxc tables expose."""
+    for name in ("lda_x", "gga_x_pbe", "gga_c_lyp"):
+        xc = get_xc(name)
+
+        def f(r):
+            if xc.family == 1:
+                return xc.edens_unpol(jnp.asarray([r]))[0]
+            return xc.edens_unpol(jnp.asarray([r]),
+                                  sigma=jnp.asarray([0.37]))[0]
+
+        g = f
+        for _ in range(4):
+            g = jax.grad(g)
+        assert np.isfinite(float(g(0.9))), name

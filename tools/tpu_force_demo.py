@@ -1,0 +1,69 @@
+"""Benzene B3LYP/def2-SVP nuclear forces on the TPU via the split-module
+adjoint (scf/adjoint.py) — the headline-scale gradient demo (VERDICT r2
+item 3: monolithic jax.grad(energy_fn) cannot compile remotely at this
+scale; the adjoint's per-part modules can).
+
+Two-phase protocol (same as tools/tpu_isolate.py):
+  CPU oracle:  env -u PYTHONPATH JAX_PLATFORMS=cpu \
+                   python tools/tpu_force_demo.py --save [basis]
+  TPU check:   python tools/tpu_force_demo.py --check [basis]
+
+--save writes the LAPACK-f64 CPU force to tools/.force_cpu_<basis>.npz;
+--check recomputes on the current (TPU) backend, reports max|dF| vs the
+oracle and stage timings, and exits nonzero if above 1e-8.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import dqc_tpu as dq  # noqa: E402
+from __graft_entry__ import _benzene_mol  # noqa: E402
+
+
+def force(basis):
+    mol = _benzene_mol(basis=basis)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mol.set_cache(os.path.join(repo, f".bench_theta_{basis}.npz"))
+    qc = dq.KS(mol, xc="b3lyp")
+    t0 = time.time()
+    qc.run()
+    t_run = time.time() - t0
+    t0 = time.time()
+    g = qc.energy_grad()
+    t_grad = time.time() - t0
+    f = -np.asarray(g["basis"]["atompos"], dtype=np.float64)
+    return f, float(qc.energy()), t_run, t_grad
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "--check"
+    basis = sys.argv[2] if len(sys.argv) > 2 else "def2-svp"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f".force_cpu_{basis}.npz")
+    f, e, t_run, t_grad = force(basis)
+    print(f"[force_demo] backend={jax.default_backend()} E={e:.10f} "
+          f"run={t_run:.1f}s grad={t_grad:.1f}s |F|max={np.abs(f).max():.3e}",
+          flush=True)
+    if mode == "--save":
+        np.savez(path, force=f, energy=e)
+        print(f"[force_demo] CPU oracle saved: {path}")
+        return
+    ref = np.load(path)
+    df = np.abs(f - ref["force"]).max()
+    de = abs(e - float(ref["energy"]))
+    print(f"[force_demo] vs CPU oracle: max|dF|={df:.3e}  |dE|={de:.3e}")
+    if df > 1e-8:
+        print("[force_demo] FAIL: force mismatch above 1e-8")
+        sys.exit(1)
+    print("[force_demo] OK")
+
+
+if __name__ == "__main__":
+    main()
