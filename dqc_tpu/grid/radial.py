@@ -24,6 +24,23 @@ def chebyshev2_quadrature(n: int):
     return x[::-1].copy(), w[::-1].copy()
 
 
+def chebyshev_quadrature(n: int):
+    """Transformed Gauss-Chebyshev rule of Perez-Jorda & San-Fabian,
+    eq (9)-(10) of doi:10.1063/1.475719 (the reference's "chebyshev"
+    integrator, radial_grid.py:87-98): open rule on (-1, 1) whose weights
+    vanish ~sin^4 at the endpoints, so steep integrands near x=+-1 (r->0
+    and r->inf after the radial map) are tamed without dividing out a
+    Chebyshev weight function."""
+    np1 = n + 1.0
+    i = np.arange(n, 0, -1)
+    t = i * np.pi / np1
+    s = np.sin(t)
+    c = np.cos(t)
+    x = (np1 - 2.0 * i) / np1 + 2.0 / np.pi * (1.0 + 2.0 / 3.0 * s * s) * c * s
+    w = 16.0 / (3.0 * np1) * s ** 4
+    return x, w
+
+
 def uniform_quadrature(n: int):
     x = np.linspace(-1.0, 1.0, n + 2)[1:-1]
     w = np.full(n, 2.0 / (n + 1))
@@ -90,6 +107,8 @@ def radial_grid(n: int, transform, quadrature: str = "chebyshev2"):
     the angular grid integrates to 4 pi)."""
     if quadrature == "chebyshev2":
         x, wx = chebyshev2_quadrature(n)
+    elif quadrature == "chebyshev":
+        x, wx = chebyshev_quadrature(n)
     elif quadrature == "uniform":
         x, wx = uniform_quadrature(n)
     else:

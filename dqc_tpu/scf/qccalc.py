@@ -587,6 +587,9 @@ class SCF_QCCalc:
                         lambda f: stepper(f, thd, None, None), ff, opts)
             fn = jax.jit(run)
             cache[key] = fn
+        log(f"device-DIIS[{tag}] dispatching"
+            f"{' [purify]' if purify else ''}{' [mixed]' if mixed else ''}"
+            " (remote compile if cold — minutes at nao~114)")
         t0 = _time.perf_counter()
         try:
             f0d = jnp.asarray(np.asarray(f0, dtype=np.float64)) if mixed \

@@ -35,6 +35,26 @@ def test_radial_gaussian_integral(transform):
         assert abs(val - exact) / exact < 1e-10, a
 
 
+def test_chebyshev_pjsf_quadrature():
+    """The Perez-Jorda & San-Fabian transformed Gauss-Chebyshev rule
+    (reference radial_grid.py:87-98, doi:10.1063/1.475719 eq 9-10):
+    exact-to-rounding on smooth (-1,1) integrands and usable as the
+    radial integrator."""
+    from dqc_tpu.grid.radial import chebyshev_quadrature
+    x, w = chebyshev_quadrature(60)
+    assert abs(w.sum() - 2.0) < 1e-12                      # int 1 dx
+    assert abs((w * x).sum()) < 1e-13                      # odd
+    assert abs((w * x ** 2).sum() - 2.0 / 3.0) < 1e-12
+    assert abs((w * np.exp(x)).sum() - (np.e - 1.0 / np.e)) < 1e-10
+    # radial map: same gaussian-moment check as the other quadratures
+    r, wr = radial_grid(99, TreutlerM4Transformation(xi=1.0),
+                        quadrature="chebyshev")
+    for a in (0.5, 2.0, 10.0):
+        val = float((wr * np.exp(-a * r ** 2)).sum())
+        exact = np.sqrt(np.pi) / (4 * a ** 1.5)
+        assert abs(val - exact) / exact < 1e-9, a
+
+
 def test_molecular_grid_integrates_density():
     """Becke-stitched grid integrates normalized AO densities to 1."""
     bas = [CGTOBasis(0, np.array([1.2, 0.3]), np.array([0.7, 0.5]))]
