@@ -52,8 +52,16 @@ def df_j(df, dm_tot):
 def df_k(df, dm):
     """RI-K exchange: K_ij = (ik|P) j2c^{-1}_PQ (Q|jl) dm_kl.
 
-    Same 'tp' aux-axis sharding as df_j."""
+    Same 'tp' aux-axis sharding as df_j. When the df dict carries
+    "madelung" (periodic GDF, scf/pbc.build_pbc_gdf), the dropped-G=0
+    probe-charge Ewald correction K += M * S dm S is restored — the same
+    exxdiv="ewald" treatment as the AFT path (ops/pbcft.aft_k)."""
     from ..parallel.mesh import shard_axis
     j3c = shard_axis(df["j3c"], "tp", 2)
     b = jnp.einsum("ikp,pq->ikq", j3c, df["v_inv"])
-    return jnp.einsum("ikq,...kl,jlq->...ij", b, dm, j3c)
+    k = jnp.einsum("ikq,...kl,jlq->...ij", b, dm, j3c)
+    mad = df.get("madelung")
+    if mad is not None:
+        s = df["ovlp"]
+        k = k + mad * jnp.einsum("ik,...kl,lj->...ij", s, dm, s)
+    return k

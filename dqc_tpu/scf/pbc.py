@@ -84,9 +84,20 @@ def madelung_constant(lattice) -> float:
 
 
 def build_pbc_core_theta(sol, params, atomzs, *, precision: float = 1e-9,
-                         madelung=None):
+                         madelung=None, gdf_aux=None):
     """params -> theta for the gamma-point PBC SCF: real ovlp/hcore from
-    lattice sums + AFT, pair-FT Coulomb factors, Ewald nuclei energy."""
+    lattice sums + AFT, pair-FT Coulomb factors, Ewald nuclei energy.
+
+    gdf_aux: optional (meta_aux, params_aux) — Gaussian density fitting in
+    the periodic Coulomb metric (counterpart of the reference's DFPBC,
+    df/dfpbc.py:39-160): pair densities are fitted onto the auxiliary
+    basis with the G-space metric, then per-iteration J/K are
+    nao^2*naux MXU matmuls (scf/df.df_j/df_k) instead of per-iteration
+    G-space contractions. The G=0 (charged-fit / compensating-charge)
+    subtlety is handled as in the AFT path: the uniform component is
+    projected out of the metric and 3c integrals alike (jellium
+    convention), and the exchange G=0 term is restored by the Madelung
+    probe-charge correction carried in the df dict."""
     meta = sol.meta
     lat = sol.lattice
     rcut = estimate_rcut(meta, sol.params, precision)
@@ -103,12 +114,52 @@ def build_pbc_core_theta(sol, params, atomzs, *, precision: float = 1e-9,
     vne = aft_vnuc(Fre, Fim, w, atomzs, params["atompos"], Gv)
 
     X, keep = orthogonalizer(ovlp, 1e-9)
-    return {
+    theta = {
         "hcore": kin + vne,
         "ovlp": ovlp,
         "X": X,
         "keep": keep,
         "enuc": ewald_energy(atomzs, params["atompos"], lat),
-        "pbcft": {"Fre": Fre, "Fim": Fim, "wcoul": w,
-                  "madelung": madelung},
     }
+    if gdf_aux is None:
+        theta["pbcft"] = {"Fre": Fre, "Fim": Fim, "wcoul": w,
+                          "madelung": madelung}
+    else:
+        theta["df"] = build_pbc_gdf(Fre, Fim, w, gdf_aux[0], gdf_aux[1],
+                                    Gv, madelung=madelung, ovlp=ovlp)
+    return theta
+
+
+def build_pbc_gdf(Fre, Fim, w, meta_aux, params_aux, Gv, *, madelung=None,
+                  ovlp=None):
+    """Periodic-Coulomb-metric density fitting tensors from the pair FT.
+
+    j3c_{ij,P} = sum_G w_G Re[F_ij(G) chi_P(G)^*]   (nao, nao, naux)
+    v_{PQ}     = sum_G w_G Re[chi_P(G) chi_Q(G)^*]  (naux, naux)
+
+    with chi_P the aux-AO Fourier transforms (ops/pbcft.eval_ao_ft — the
+    lattice-periodic aux function's Bloch sum at gamma has exactly the
+    single-center FT on the reciprocal lattice). The returned dict plugs
+    into scf/df.df_j/df_k unchanged; "madelung"/"ovlp" carry the
+    exact-exchange G=0 probe-charge correction."""
+    from ..ops.pbcft import eval_ao_ft
+    nao = Fre.shape[-1]
+    ng = Fre.shape[0]
+    cre, cim = eval_ao_ft(meta_aux, params_aux, jnp.asarray(Gv))
+    fre = Fre.reshape(ng, nao * nao)
+    fim = Fim.reshape(ng, nao * nao)
+    j3c = (jnp.einsum("gx,g,gp->xp", fre, w, cre)
+           + jnp.einsum("gx,g,gp->xp", fim, w, cim)).reshape(nao, nao, -1)
+    v = (jnp.einsum("gp,g,gq->pq", cre, w, cre)
+         + jnp.einsum("gp,g,gq->pq", cim, w, cim))
+    v = 0.5 * (v + v.T)
+    from .eigh import safe_eigh
+    ew, ev = safe_eigh(v)
+    keep = ew > 1e-10 * jnp.max(ew)
+    inv_w = jnp.where(keep, 1.0 / jnp.where(keep, ew, 1.0), 0.0)
+    v_inv = (ev * inv_w[None, :]) @ ev.T
+    out = {"j3c": j3c, "v_inv": v_inv}
+    if madelung is not None:
+        out["madelung"] = jnp.asarray(madelung)
+        out["ovlp"] = ovlp
+    return out

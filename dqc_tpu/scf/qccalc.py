@@ -1128,6 +1128,17 @@ def _maybe_df(theta, mol, dfset, params):
     return theta
 
 
+def _pbc_gdf_aux(gdfset, params):
+    """(meta_aux, params_aux) with aux centers tied to the traced atom
+    positions, or None when the Sol is in the default AFT mode."""
+    if gdfset is None:
+        return None
+    meta_aux, params_aux = gdfset
+    pa = dict(params_aux)
+    pa["atompos"] = params["basis"]["atompos"]
+    return meta_aux, pa
+
+
 def _screened(mol):
     """Schwarz-pruned pair lists, computed once from the molecule's initial
     params (the pruning pattern is frozen; jitted programs stay static)."""
@@ -1306,10 +1317,12 @@ def _pbc_hf(sol, *, restricted=None, opts=None):
     engine = HFEngine(polarized=polarized)
     mad = (madelung_constant(sol.lattice) if opts.exxdiv == "ewald"
            else None)
+    gdfset = _df_setup(sol)
 
     def build_theta(params):
         theta = build_pbc_core_theta(sol, params["basis"], params["atomzs"],
-                                     madelung=mad)
+                                     madelung=mad,
+                                     gdf_aux=_pbc_gdf_aux(gdfset, params))
         theta["occ"] = occ
         return theta
 
@@ -1342,10 +1355,12 @@ def _pbc_ks(sol, xc, *, restricted=None, opts=None):
     needs_k = getattr(xc, "exx_fraction", 0.0) != 0.0
     mad = (madelung_constant(sol.lattice)
            if (needs_k and opts.exxdiv == "ewald") else None)
+    gdfset = _df_setup(sol)
 
     def build_theta(params):
         theta = build_pbc_core_theta(sol, params["basis"], params["atomzs"],
-                                     madelung=mad)
+                                     madelung=mad,
+                                     gdf_aux=_pbc_gdf_aux(gdfset, params))
         theta["occ"] = occ
         theta["grid"] = setup_pbc_grid_theta(
             sol.meta, params["basis"], pbcgrid, ls_ao, family=xc.family)

@@ -53,12 +53,29 @@ class Sol:
 
     @property
     def dfinfo(self):
-        # AFT G-space Coulomb plays the role of the reference's mandatory
-        # PBC density fitting; .densityfit() is therefore a no-op kept for
-        # API parity (reference sol.py:108-142).
-        return None
+        return getattr(self, "_dfinfo", None)
 
-    def densityfit(self, method: str = "aft", auxbasis=None):
+    def densityfit(self, method: str = "aft", auxbasis="autoaux"):
+        """PBC density fitting (reference sol.py:108-142 / df/dfpbc.py).
+
+        method="aft" (default): the G-space AFT Coulomb already plays the
+        density-fitting role — no-op. method="gdf"/"coulomb": fit pair
+        densities onto a Gaussian auxiliary basis in the periodic Coulomb
+        metric (scf/pbc.build_pbc_gdf); per-SCF-iteration J/K then cost
+        nao^2*naux matmuls instead of G-space contractions."""
+        if method == "aft":
+            return self
+        from ..utils.datastruct import DensityFitInfo
+        if isinstance(auxbasis, str) and auxbasis.lower() == "autoaux":
+            from ..basis.autoaux import autoaux
+            auxb = autoaux(self.atombases)
+        else:
+            auxb = []
+            for i, zi in enumerate(self.zs_int):
+                bas_i = _load_atom_basis(zi, auxbasis)
+                auxb.append(AtomCGTOBasis(atomz=zi, bases=bas_i,
+                                          pos=np.asarray(self.atompos)[i]))
+        self._dfinfo = DensityFitInfo(method=method, auxbases=auxb)
         return self
 
     def get_orb_weights(self, polarized: Optional[bool] = None):

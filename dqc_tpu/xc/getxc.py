@@ -82,6 +82,14 @@ def _named_composites():
         "svwn": lambda: LDA_X() + LDA_C_VWN5(),
         "scan": lambda: get_libxc("mgga_x_scan") + get_libxc("mgga_c_scan"),
         "tpss": lambda: get_libxc("mgga_x_tpss") + get_libxc("mgga_c_tpss"),
+        # meta-GGA hybrids (libxc hyb_mgga_xc_tpssh / mgga-scan0): 10% /
+        # 25% exact exchange on the TPSS / SCAN parent
+        "tpssh": lambda: (0.10 * HFExchangeXC()
+                          + 0.90 * get_libxc("mgga_x_tpss")
+                          + get_libxc("mgga_c_tpss")),
+        "scan0": lambda: (0.25 * HFExchangeXC()
+                          + 0.75 * get_libxc("mgga_x_scan")
+                          + get_libxc("mgga_c_scan")),
         "lda": lambda: LDA_X() + LDA_C_PW(),
     }
 

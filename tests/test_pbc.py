@@ -233,6 +233,26 @@ def test_pbc_hybrid_ks_consistency():
     assert abs(e_hf - e_ks) < 1e-8
 
 
+def test_pbc_gdf_matches_aft():
+    """Periodic Gaussian density fitting (scf/pbc.build_pbc_gdf — the
+    counterpart of the reference's DFPBC, df/dfpbc.py:39-160, redesigned
+    as a G-space-metric fit): fitted J/K reproduce the plane-wave AFT
+    path for both a semilocal cell and exact exchange (HF, including the
+    Madelung G=0 probe-charge correction carried through the df dict)."""
+    import dqc_tpu
+    mk = lambda: Sol("H 0 0 0", np.eye(3) * 3.0, basis="3-21g", spin=1,
+                     grid="sg2")
+    e_aft = float(dqc_tpu.KS(mk(), xc="lda_x").run().energy())
+    e_gdf = float(dqc_tpu.KS(mk().densityfit(method="gdf"),
+                             xc="lda_x").run().energy())
+    assert abs(e_gdf - e_aft) < 1e-3, (e_gdf, e_aft)
+    mk2 = lambda: Sol("He 0 0 0", np.eye(3) * 5.0, basis=SOFT_HE)
+    e_hf_aft = float(dqc_tpu.HF(mk2()).run().energy())
+    e_hf_gdf = float(dqc_tpu.HF(mk2().densityfit(method="gdf"))
+                     .run().energy())
+    assert abs(e_hf_gdf - e_hf_aft) < 1e-3, (e_hf_gdf, e_hf_aft)
+
+
 def test_kpoint_hf_supercell_invariant():
     """k-point exact exchange oracle (Bloch theorem): 2-point k-mesh HF on
     the primitive He cell == half the gamma HF energy of the doubled

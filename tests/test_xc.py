@@ -265,6 +265,13 @@ def test_new_named_composites_resolve():
         assert getattr(xc, "exx_fraction", 0.0) == hyb, name
         e = xc.edens_unpol(RHO, sigma=SIG)
         assert np.all(np.isfinite(np.asarray(e))), name
+    # meta-GGA hybrids need lapl/kin args
+    for name, hyb in [("tpssh", 0.10), ("scan0", 0.25)]:
+        xc = get_xc(name)
+        assert abs(getattr(xc, "exx_fraction", 0.0) - hyb) < 1e-12, name
+        assert xc.family == 4, name
+        e = xc.edens_unpol(RHO, sigma=SIG, lapl=0 * RHO, tau=RHO)
+        assert np.all(np.isfinite(np.asarray(e))), name
 
 
 def test_pz81_correlation():
