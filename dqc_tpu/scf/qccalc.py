@@ -1066,12 +1066,30 @@ def sad_dm0(mol, xc="lda_x"):
                         "non-finite; recomputing")
                     os.remove(fname)
             if key not in cache:
-                amol = Mol((np.array([float(z)]), np.zeros((1, 3))),
-                           basis={z: list(ab.bases)}, spin=0,
-                           orb_weights=_sad_occ(z, na), grid=1)
-                qa = KS(amol, xc=xc,
-                        opts=SCFOptions(mixed=False, guess="gwh")).run()
-                dm_a = np.asarray(qa.aodm())
+                # run the atomic SCF on the in-process CPU backend when
+                # the default device is a (remote) accelerator: the tiny
+                # whole-program modules are LAPACK-fast on CPU, while on
+                # the axon TPU the same programs have (a) returned
+                # non-finite densities (STATUS round-2 session 3) and
+                # (b) wedged the remote worker outright during compile
+                # (round-3: two bench runs hung >45 min with an
+                # outstanding RPC at exactly this stage). The SAD dm is
+                # only an initial guess — backend choice cannot affect
+                # converged results.
+                import contextlib
+                ctx = contextlib.nullcontext()
+                if jax.default_backend() != "cpu":
+                    try:
+                        ctx = jax.default_device(jax.devices("cpu")[0])
+                    except RuntimeError:
+                        pass   # no cpu backend registered: use default
+                with ctx:
+                    amol = Mol((np.array([float(z)]), np.zeros((1, 3))),
+                               basis={z: list(ab.bases)}, spin=0,
+                               orb_weights=_sad_occ(z, na), grid=1)
+                    qa = KS(amol, xc=xc,
+                            opts=SCFOptions(mixed=False, guess="gwh")).run()
+                    dm_a = np.asarray(qa.aodm())
                 if not np.all(np.isfinite(dm_a)):
                     # don't cache the poison — raise so the caller falls
                     # back to the GWH initial Fock
