@@ -15,6 +15,16 @@ import os as _os
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# True-f32 matmuls on TPU: the MXU's default f32 path is a SINGLE bf16
+# pass (~8 mantissa bits). Measured consequence (round 3): each
+# differently-fused f32 J/K program is its own self-consistently
+# bf16-perturbed SCF map, so the f32 warm phase converges (its own
+# residual 8e-5) to a state the host map scores at err ~1.1 — the warm
+# start was worthless and the host f32 loop redid the work. "highest"
+# (multi-pass) restores true f32 products; the f32 phases are
+# MXU-cheap, so the 3-6x matmul-pass cost is noise next to the f64
+# phases. CPU/f64-emulated paths are unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")
 # persistent XLA compilation cache (compiles dominate on small hosts; the
 # cache also covers the TPU backend). Override dir via DQC_TPU_XLA_CACHE.
 _cache_dir = _os.environ.get(

@@ -95,24 +95,39 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         # constrained least-squares solution exact)
         filled = (jnp.arange(H) < nfill)
         B = ehist @ ehist.T
-        scale = jnp.maximum(jnp.max(jnp.abs(B) * filled[:, None]
-                                    * filled[None, :]),
-                            jnp.finfo(ff.dtype).tiny)
-        Bn = B / scale
-        mask2 = filled[:, None] & filled[None, :]
-        Bn = jnp.where(mask2, Bn, jnp.where(
-            jnp.eye(H, dtype=bool), 1.0, 0.0))
-        ones = jnp.where(filled, 1.0, 0.0)
-        A = jnp.zeros((H + 1, H + 1), dtype=e_dtype)
-        A = A.at[:H, :H].set(Bn)
-        A = A.at[:H, H].set(ones)
-        A = A.at[H, :H].set(ones)
-        rhs = jnp.zeros((H + 1,), dtype=e_dtype).at[H].set(1.0)
-        # symmetric-eigh solve: TPU implements f64 eigh but not f64 LU
-        ew, ev = jnp.linalg.eigh(A)
-        cutoff = 100 * jnp.finfo(e_dtype).eps * jnp.max(jnp.abs(ew))
-        inv_w = jnp.where(jnp.abs(ew) > cutoff, 1.0 / ew, 0.0)
-        c = (ev @ (inv_w * (ev.T @ rhs)))[:H] * filled
+
+        def solve_c(mask):
+            scale = jnp.maximum(jnp.max(jnp.abs(B) * mask[:, None]
+                                        * mask[None, :]),
+                                jnp.finfo(ff.dtype).tiny)
+            Bn = B / scale
+            mask2 = mask[:, None] & mask[None, :]
+            Bn = jnp.where(mask2, Bn, jnp.where(
+                jnp.eye(H, dtype=bool), 1.0, 0.0))
+            ones = jnp.where(mask, 1.0, 0.0)
+            A = jnp.zeros((H + 1, H + 1), dtype=e_dtype)
+            A = A.at[:H, :H].set(Bn)
+            A = A.at[:H, H].set(ones)
+            A = A.at[H, :H].set(ones)
+            rhs = jnp.zeros((H + 1,), dtype=e_dtype).at[H].set(1.0)
+            # symmetric-eigh solve: TPU implements f64 eigh but not f64 LU.
+            # rcond matches the host DIIS's pinv(rcond=1e-12): near the
+            # floor the error vectors are nearly dependent and a
+            # 100*eps_f64 (~2e-14) cutoff keeps noise directions whose
+            # amplified coefficients stall the extrapolation
+            ew, ev = jnp.linalg.eigh(A)
+            rcond = jnp.maximum(100 * jnp.finfo(e_dtype).eps, 1e-12)
+            cutoff = rcond * jnp.max(jnp.abs(ew))
+            inv_w = jnp.where(jnp.abs(ew) > cutoff, 1.0 / ew, 0.0)
+            return (ev @ (inv_w * (ev.T @ rhs)))[:H] * mask
+
+        c = solve_c(filled)
+        # conditioning guard (in-graph CDIIS analog of the host loop's
+        # drop-oldest-until-tame): blown-up coefficients amplify noise in
+        # the Fock combination — re-solve on the most recent <=4 iterates
+        age = jnp.mod(it - jnp.arange(H), H)
+        c_recent = solve_c(filled & (age < 4))
+        c = jnp.where(jnp.sum(jnp.abs(c)) > 20.0, c_recent, c)
         f_diis = c @ fhist
         use_diis = (it + 1 >= opts.diis_start)
         ff_next = jnp.where(use_diis, f_diis, f_new)

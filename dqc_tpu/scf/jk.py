@@ -256,10 +256,17 @@ def expand_k_tensor(meta: BasisMeta, jk_meta, blocks):
                      rc[None, None, None, :, :, None],
                      rb[:, None, :, None, None, None],
                      rd[None, None, None, :, None, :]].add(blocks[ci])
-    # s8 images in K layout (G-space generators mapped through [a,c,b,d]):
-    out = out + out.transpose(2, 1, 0, 3)   # a <-> b
-    out = out + out.transpose(0, 3, 2, 1)   # c <-> d
-    out = out + out.transpose(1, 0, 3, 2)   # (ab) <-> (cd)
+    # s8 images in K layout (G-space generators mapped through [a,c,b,d]).
+    # The optimization_barrier is load-bearing on TPU: XLA:TPU miscompiles
+    # the FUSED f64 add+transpose(2,1,0,3) for tensors >= ~98 MB
+    # (rel err 0.35-0.46; bare transpose and f32 are exact — distilled by
+    # tools/expand_k_repro.py, round 3). Keeping the transpose as its own
+    # (correct) kernel sidesteps it; the run()-time host oracle in
+    # qccalc._materialize_theta still guards the result end-to-end.
+    for perm in ((2, 1, 0, 3),   # a <-> b
+                 (0, 3, 2, 1),   # c <-> d
+                 (1, 0, 3, 2)):  # (ab) <-> (cd)
+        out = out + jax.lax.optimization_barrier(out.transpose(*perm))
     return out
 
 

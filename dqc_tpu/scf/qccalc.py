@@ -320,6 +320,11 @@ class SCF_QCCalc:
                                          acc=acc)
                 if out is not None:
                     f = out.astype(f0.dtype) if hasattr(f0, "dtype") else out
+                    # the device batch already drove the error to its
+                    # floor; the host loop is verification + polish, so a
+                    # stall there means "hand over to the next phase", not
+                    # "keep burning 0.8 s LAPACK iterations"
+                    patience = min(patience, 4)
             fhist, ehist = [], []
             best_err, best_f, best_it = np.inf, f, -1
             for it in range(maxiter):

@@ -59,10 +59,17 @@ def expand(meta, jk_meta, blocks, combos_keep=None, transposes=True):
                      rc[None, None, None, :, :, None],
                      rb[:, None, :, None, None, None],
                      rd[None, None, None, :, None, :]].add(blocks[ci])
-    if transposes:
+    if transposes == "fused":
+        # the original (miscompiling) form kept for regression probing:
+        # XLA:TPU fuses f64 add+transpose(2,1,0,3) wrongly >= ~98 MB
         out = out + out.transpose(2, 1, 0, 3)
         out = out + out.transpose(0, 3, 2, 1)
         out = out + out.transpose(1, 0, 3, 2)
+    elif transposes:
+        # production form (scf/jk.expand_k_tensor): barrier forces the
+        # bare-transpose kernel, which is correct at all sizes
+        for perm in ((2, 1, 0, 3), (0, 3, 2, 1), (1, 0, 3, 2)):
+            out = out + jax.lax.optimization_barrier(out.transpose(*perm))
     return out
 
 
