@@ -54,6 +54,10 @@ class HFEngine:
         if "pbcft" in theta:
             from ..ops.pbcft import aft_j
             return aft_j(theta["pbcft"], dm_tot)
+        if "eri_j" in theta:
+            # Coulomb-layout dense ERI (qccalc._maybe_expand_j): flat
+            # trailing-axis MXU matvec, same shape trick as eri_k
+            return jnp.einsum("ijkl,kl->ij", theta["eri_j"], dm_tot)
         if "eri" in theta:
             return jnp.einsum("ijkl,kl->ij", theta["eri"], dm_tot)
         if "jkb0" in theta:
@@ -131,7 +135,7 @@ class HFEngine:
     # DIIS can compile the quartet-stream J/K and the rest as separate,
     # much smaller XLA modules (scf/qccalc._host_solve).
     def jk_parts(self, dm, theta):
-        if "jkb0" in theta:
+        if "jkb0" in theta and "eri_j" not in theta:
             from .jk import jk_from_blocks, theta_blocks
             bmeta, jkm = self.jk_info
             # K from the exchange-layout tensor when present (pure matvec);

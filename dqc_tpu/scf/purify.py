@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 
-def purify_orth(fp, nocc, iters: int = 40):
+def purify_orth(fp, nocc, iters: int = 72):
     """Density matrix (orthogonal frame, trace = nocc, spectrum {0,1})
     from the symmetric orthogonal-frame Fock `fp` (..., n, n).
 
@@ -36,9 +36,16 @@ def purify_orth(fp, nocc, iters: int = 40):
         c  = tr(D^2 - D^3) / tr(D - D^2)
         D <- ((1+c) D^2 - D^3) / c                    if c >= 1/2
         D <- ((1-2c) D + (1+c) D^2 - D^3) / (1-c)     otherwise
-    iterated a fixed `iters` times (quadratic endgame; gap-dependent
-    start — 40 covers HOMO-LUMO gaps down to ~1e-3 of the spectral
-    width)."""
+    iterated a fixed `iters` times. The count matters more than it
+    looks: D = p(F) commutes with F EXACTLY for any polynomial p, so the
+    SCF commutator metric is blind to an unconverged purification — the
+    solver happily converges F = F(p_k(F)) to 1e-11 in its own metric
+    while the fixed point sits at the purification's subspace error from
+    the true one (measured on benzene def2-SVP, gap/width ~0.016:
+    iters=40 -> 2.7e-7 true residual seen by the host LAPACK polish).
+    The linear (gap-limited) phase sets the cost: 72 iterations push the
+    frontier-orbital error below 1e-10 there, at ~0.055 ms per 114^2
+    f64 MXU matmul — noise next to one J/K build."""
     n = fp.shape[-1]
     eye = jnp.eye(n, dtype=fp.dtype)
     diag = jnp.diagonal(fp, axis1=-2, axis2=-1)
@@ -71,7 +78,7 @@ def purify_orth(fp, nocc, iters: int = 40):
     return jax.lax.fori_loop(0, iters, body, d0)
 
 
-def fock_to_dm_purify(fock, X, keep, occ, iters: int = 40):
+def fock_to_dm_purify(fock, X, keep, occ, iters: int = 72):
     """AO-basis density matrix from the AO Fock via canonical purification
     — drop-in for the eigh route in engine.orthogonal_fock_to_dm for
     integer aufbau occupations.

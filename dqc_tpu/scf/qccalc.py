@@ -290,7 +290,7 @@ class SCF_QCCalc:
             return gwh_fock(th, dtype)
 
         def diis_phase(th, f0, tol, maxiter, tag, iter_fn=None, patience=12,
-                       corr=None, acc=None):
+                       corr=None, acc=None, device_only=False):
             import time as _time
             from ..utils.logger import log
             if iter_fn is None and corr is not None:
@@ -325,6 +325,12 @@ class SCF_QCCalc:
                     # stall there means "hand over to the next phase", not
                     # "keep burning 0.8 s LAPACK iterations"
                     patience = min(patience, 4)
+                    if device_only:
+                        # warm phases hand straight to the next (f64)
+                        # phase: polishing an f32-floored state with
+                        # 0.8 s host iterations buys less than the f64
+                        # device phase's ~0.3 s/it absorbing the gap
+                        return f
             fhist, ehist = [], []
             best_err, best_f, best_it = np.inf, f, -1
             for it in range(maxiter):
@@ -408,7 +414,7 @@ class SCF_QCCalc:
             acc64 = {k_: theta[k_] for k_ in ("X", "keep", "occ", "ovlp")}
             f = diis_phase(theta32, start_fock(theta32, np.float32),
                            opts.mixed_tol, opts.mixed_maxiter, "f32",
-                           acc=acc64)
+                           acc=acc64, device_only=True)
             if np.all(np.isfinite(f)):
                 dm64 = jnp.asarray(host_dm(f), dtype=jnp.float64)
                 j, k = jit_jk(dm64, theta)
@@ -799,6 +805,9 @@ class SCF_QCCalc:
             # the CPU backend): every disk-cacheable part is now written;
             # derived tensors (eri_k) are rebuilt by the consumer anyway
             return theta
+        def finish(th):
+            return self._maybe_expand_j(th)
+
         exp = getattr(self, "_expand_k_info", None)
         if exp is not None and getattr(self, "_expand_k_device_ok",
                                        None) is False:
@@ -814,7 +823,7 @@ class SCF_QCCalc:
                     [np.asarray(b) for b in theta_blocks(theta, jkm)]))
                 log(f"theta[eri_k] host-expanded (device expansion "
                     f"known-bad) in {_time.perf_counter() - _t0:.1f}s")
-            return theta
+            return finish(theta)
         if exp is not None:
             # derived exchange-layout ERI: recomputed from the cached
             # blocks (cheap scatter+transposes), never disk-cached
@@ -867,7 +876,7 @@ class SCF_QCCalc:
                 else:
                     log(f"theta[eri_k] probe ok (paths rel {rel:.1e})")
                     self._expand_k_device_ok = True
-                return theta
+                return finish(theta)
             g_host = expand_k_tensor_host(
                 bmeta, jkm, [np.asarray(b) for b in
                              theta_blocks(theta, jkm)])
@@ -905,6 +914,49 @@ class SCF_QCCalc:
                             "untrustworthy")
             else:
                 log(f"theta[eri_k] probe ok (oracle rel {e_dev:.1e})")
+        return finish(theta)
+
+    def _maybe_expand_j(self, theta):
+        """Derive the Coulomb-layout dense ERI from a trusted eri_k:
+        G_J = eri_k.transpose(0,2,1,3), so J = einsum("ijkl,kl->ij") is a
+        flat trailing-axis MXU matvec like K (the per-iteration blocks-J
+        is a batched-tiny-einsum path, ~2-3x slower on the axon TPU).
+        Bare transpose only — the fused add+transpose class that XLA:TPU
+        miscompiles (scf/jk.expand_k_tensor) is not involved — plus a
+        device-side probe against the blocks J as defense in depth."""
+        if "eri_k" not in theta or "jkb0" not in theta:
+            return theta
+        if self.mol.meta.nao ** 4 * 8 > EXPAND_J_BYTES_LIMIT:
+            return theta
+        import time as _time
+        import warnings as _warnings
+        from ..utils.logger import log
+        from .jk import jk_from_blocks, theta_blocks
+        _t0 = _time.perf_counter()
+        fn = getattr(self, "_expand_j_fn", None)
+        if fn is None:
+            fn = jax.jit(lambda g: jnp.transpose(g, (0, 2, 1, 3)))
+            self._expand_j_fn = fn
+        eri_j = fn(theta["eri_k"])
+        nao = self.mol.meta.nao
+        rng = np.random.default_rng(1)
+        probe_np = rng.standard_normal((nao, nao))
+        probe = jnp.asarray(probe_np + probe_np.T)
+        j_dev = np.asarray(jnp.einsum("ijkl,kl->ij", eri_j, probe))
+        bmeta, jkm = self._expand_k_info
+        j_blk, _ = jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm),
+                                  probe, want_j=True, want_k=False)
+        j_blk = np.asarray(j_blk)
+        rel = (np.abs(j_dev - j_blk).max()
+               / max(np.abs(j_blk).max(), 1e-300))
+        if rel > 1e-10:
+            _warnings.warn(
+                f"Coulomb-layout ERI transpose disagrees with the blocks "
+                f"J (rel {rel:.2e}); keeping the blocks path")
+            return theta
+        theta["eri_j"] = eri_j
+        log(f"theta[eri_j] derived in {_time.perf_counter() - _t0:.1f}s "
+            f"(probe rel {rel:.1e})")
         return theta
 
     def _all_params(self, with_fields: bool = True):
@@ -1189,6 +1241,14 @@ BLOCKED_JK_BYTES_LIMIT = int(os.environ.get(
 # einsum over the 6-D blocks. Derived data — never disk-cached.
 EXPAND_K_BYTES_LIMIT = int(os.environ.get(
     "DQC_TPU_EXPAND_K_BYTES", 2 * 1024 ** 3))
+
+# Coulomb twin of eri_k: G_J[a,b,c,d] = (ab|cd) = eri_k.transpose(0,2,1,3)
+# (one bare-transpose kernel at theta time), making J a trailing-axis
+# matvec too. The per-iteration blocks-path J (batched tiny einsums with
+# gathers) measured ~0.15-0.2 s at nao=114 on the axon TPU vs ~75 ms for
+# the flat matvec. Costs one more nao^4 f64 tensor of HBM.
+EXPAND_J_BYTES_LIMIT = int(os.environ.get(
+    "DQC_TPU_EXPAND_J_BYTES", 2 * 1024 ** 3))
 
 
 def _expand_k_wanted(mol, mode, needs_k):
