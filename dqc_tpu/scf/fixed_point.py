@@ -21,7 +21,16 @@ import jax.numpy as jnp
 
 class SCFOptions(NamedTuple):
     maxiter: int = 80
-    tol: float = 1e-10          # max |F D S - S D F| convergence criterion
+    # max |X^T(F D S - S D F)X| convergence target. 1e-8 is the standard
+    # production criterion (energy error is quadratic in the commutator:
+    # ~1e-14 Ha here; forces through implicit diff inherit ~tol-level
+    # error, well under FD-check tolerances). The round-2 1e-10 default
+    # bought nothing measurable and cost ~2 s/solve of host LAPACK polish
+    # on the TPU ladder (the fused device program's f64-emulation sits
+    # ~2.7e-7 from the small-module map under the helper's
+    # --xla_allow_excess_precision, so everything below that is host
+    # iterations). Pass SCFOptions(tol=...) for tighter work.
+    tol: float = 1e-8
     diis_size: int = 10
     diis_start: int = 1
     damping: float = 0.0        # simple mixing fraction of old Fock

@@ -66,14 +66,21 @@ def purify_orth(fp, nocc, iters: int = 72):
         tr_dd2 = jnp.trace(dk - d2, axis1=-2, axis2=-1)
         c = tr_d2d3 / jnp.where(jnp.abs(tr_dd2) > 1e-300, tr_dd2, 1.0)
         c = jnp.clip(c, 1e-6, 1.0 - 1e-6)
+        # McWeeney endgame: near idempotency both traces are rounding
+        # noise and their RATIO c is garbage — the PM update then divides
+        # a ~1e-14 correction by c~1e-6 and kicks the density by ~1e-8
+        # (an earlier freeze guard capped the kick but FROZE the frontier
+        # occupations at x ~ sqrt(10 eps n) ~ 5e-7 — measured as a
+        # deterministic 2.7e-7 handoff error to the host LAPACK polish,
+        # invariant under iters 40->72). c=1/2 turns PM into McWeeney
+        # 3D^2-2D^3: idempotent D is a STABLE fixed point (no noise
+        # pumping), x contracts quadratically to machine precision, and
+        # the trace drift is O(sum x_i^2) ~ 1e-16.
+        c = jnp.where(tr_dd2 > 1e-8, c, 0.5)
         cb = c[..., None, None]
         hi = ((1.0 + cb) * d2 - d3) / cb
         lo = ((1.0 - 2.0 * cb) * dk + (1.0 + cb) * d2 - d3) / (1.0 - cb)
-        dnew = jnp.where(cb >= 0.5, hi, lo)
-        # freeze once idempotent to the dtype floor (avoids polishing
-        # noise back in after convergence)
-        done = tr_d2d3 < 10 * jnp.finfo(fp.dtype).eps * n
-        return jnp.where(done[..., None, None], dk, dnew)
+        return jnp.where(cb >= 0.5, hi, lo)
 
     return jax.lax.fori_loop(0, iters, body, d0)
 

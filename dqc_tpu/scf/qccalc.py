@@ -415,6 +415,8 @@ class SCF_QCCalc:
             f = diis_phase(theta32, start_fock(theta32, np.float32),
                            opts.mixed_tol, opts.mixed_maxiter, "f32",
                            acc=acc64, device_only=True)
+            theta32 = None   # free the f32 theta copies' HBM before the
+            #                  f64 phase allocates its working set
             if np.all(np.isfinite(f)):
                 dm64 = jnp.asarray(host_dm(f), dtype=jnp.float64)
                 j, k = jit_jk(dm64, theta)
@@ -955,8 +957,22 @@ class SCF_QCCalc:
                 f"J (rel {rel:.2e}); keeping the blocks path")
             return theta
         theta["eri_j"] = eri_j
+        # HBM hygiene: with both dense layouts trusted, the quartet
+        # blocks are only fallback/probe material — evict their device
+        # buffers (the first eri_j bench OOM'd the TPU: eri_k + eri_j +
+        # blocks + the f32 phase copies exceeded HBM). Host copies stay
+        # on the calc for probes and safe-mode retries; phase theta dicts
+        # must NOT carry numpy leaves (jit would re-transfer per call),
+        # so the keys are removed outright.
+        jkb = {k: np.asarray(v) for k, v in theta.items()
+               if k.startswith("jkb")}
+        if jkb:
+            self._jkb_host = jkb
+            theta = {k: v for k, v in theta.items()
+                     if not k.startswith("jkb")}
         log(f"theta[eri_j] derived in {_time.perf_counter() - _t0:.1f}s "
-            f"(probe rel {rel:.1e})")
+            f"(probe rel {rel:.1e}; {len(jkb)} block tensors evicted "
+            f"to host)")
         return theta
 
     def _all_params(self, with_fields: bool = True):
@@ -1244,11 +1260,14 @@ EXPAND_K_BYTES_LIMIT = int(os.environ.get(
 
 # Coulomb twin of eri_k: G_J[a,b,c,d] = (ab|cd) = eri_k.transpose(0,2,1,3)
 # (one bare-transpose kernel at theta time), making J a trailing-axis
-# matvec too. The per-iteration blocks-path J (batched tiny einsums with
-# gathers) measured ~0.15-0.2 s at nao=114 on the axon TPU vs ~75 ms for
-# the flat matvec. Costs one more nao^4 f64 tensor of HBM.
+# matvec too. DEFAULT OFF: measured on the axon v5e (15.75G HBM,
+# benzene def2-SVP), the f64-emulated phase program splits EVERY nao^4
+# f64 input into two f32 copies and materializes a 5.95G broadcast temp
+# per matvec — adding eri_j pushed the program to 16.67G and OOM'd,
+# while the f32 warm phase (where a J matvec IS native) costs 0.23 s
+# total anyway. Opt-in via DQC_TPU_EXPAND_J_BYTES for future backends.
 EXPAND_J_BYTES_LIMIT = int(os.environ.get(
-    "DQC_TPU_EXPAND_J_BYTES", 2 * 1024 ** 3))
+    "DQC_TPU_EXPAND_J_BYTES", 0))
 
 
 def _expand_k_wanted(mol, mode, needs_k):
