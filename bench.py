@@ -176,15 +176,14 @@ def run_once(basis, cache_dir):
     nao = mol.meta.nao
     if nao >= qc.HOST_LOOP_NAO:
         efn = jax.jit(qc.engine.energy_from_parts)
+        efull = jax.jit(qc.engine.energy)
 
         def solve_e(th):
             dm = qc._host_solve(th)
             cached = getattr(qc, "_last_jk", None)
             if cached is not None and cached[0] is dm:
-                j, k = cached[1], cached[2]
-            else:
-                j, k = qc._jk_call()(dm, th)
-            return float(efn(dm, j, k, th))
+                return float(efn(dm, cached[1], cached[2], th))
+            return float(efull(dm, th))
 
         solve_e(theta)
         t0 = time.time()

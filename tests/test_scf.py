@@ -155,15 +155,24 @@ def test_hf_force_vs_finite_difference():
 
 
 def test_frac_charge_interpolation():
-    """Fractional-charge energies exist and lie between integer endpoints
-    (parity intent: reference test_ks.py:485-553)."""
+    """Fractional-charge energies pinned (parity intent: reference
+    test_ks.py:485-553 pins fractional energies tightly). Regression
+    values from this code's CPU f64 (2026-08); the q=0.5 point sits
+    2.478 mHa ABOVE the chord — the correct HF convexity (no
+    deviation-from-linearity error term), pinned as well so a
+    fractional-occupation regression cannot hide inside a loose
+    interval test (round-1/2 weak item)."""
+    pins = {0.0: -14.7683687624, 0.25: -14.7260991883,
+            0.5: -14.6862248743, 1.0: -14.6090377932}
     e = {}
-    for q in (0.0, 0.5, 1.0):
+    for q, ref in pins.items():
         mol = Mol("Li -2.5 0 0; Li 2.5 0 0", basis="3-21G", charge=q,
                   spin=q if q != 0 else None)
         e[q] = float(dqc_tpu.HF(mol).run().energy())
-    assert e[1.0] > e[0.0]
-    assert min(e[0.0], e[1.0]) <= e[0.5] <= max(e[0.0], e[1.0]) + 0.1
+        assert abs(e[q] - ref) < 5e-7, (q, e[q], ref)
+    chord = 0.5 * (e[0.0] + e[1.0])
+    assert abs((e[0.5] - chord) - 2.478e-3) < 5e-5
+    assert e[0.25] > 0.75 * e[0.0] + 0.25 * e[1.0]   # convex everywhere
 
 
 def test_frac_z_continuity():

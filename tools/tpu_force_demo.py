@@ -28,10 +28,15 @@ from __graft_entry__ import _benzene_mol  # noqa: E402
 
 
 def force(basis):
+    from dqc_tpu.scf.fixed_point import SCFOptions
     mol = _benzene_mol(basis=basis)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     mol.set_cache(os.path.join(repo, f".bench_theta_{basis}.npz"))
-    qc = dq.KS(mol, xc="b3lyp")
+    # tight fixed point on BOTH backends: the 1e-8 cross-backend force
+    # gate needs the two converged dm's to agree well below it (implicit
+    # diff is exact at each backend's own fixed point; the points differ
+    # by ~tol/gap otherwise)
+    qc = dq.KS(mol, xc="b3lyp", opts=SCFOptions(tol=1e-11))
     t0 = time.time()
     qc.run()
     t_run = time.time() - t0
