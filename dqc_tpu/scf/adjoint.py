@@ -174,6 +174,10 @@ def energy_grad(qc, params=None):
     t0 = _time.perf_counter()
     _, bar_dm_e, bar_theta_e = cache["e_partials"](dm, theta)
     log(f"adjoint: energy partials in {_time.perf_counter()-t0:.2f}s")
+    if not np.all(np.isfinite(np.asarray(bar_dm_e))):
+        raise RuntimeError(
+            "adjoint: energy-partials VJP returned non-finite bar_dm "
+            "on this backend — isolate with tools/tpu_force_demo")
 
     # --- module 3: lambda solve ---------------------------------------
     if "step_T_mv" not in cache:
@@ -186,8 +190,14 @@ def energy_grad(qc, params=None):
 
     def matvec(vflat):
         v = jnp.asarray(vflat.reshape(shape))
-        jv = cache["step_T_mv"](dm, theta, v)
-        return vflat - np.asarray(jv, dtype=np.float64).ravel()
+        jv = np.asarray(cache["step_T_mv"](dm, theta, v),
+                        dtype=np.float64).ravel()
+        if not np.all(np.isfinite(jv)):
+            raise RuntimeError(
+                "adjoint: step-transpose matvec returned non-finite "
+                "values on this backend (eigh-VJP / functional-derivative "
+                "chain suspect) — isolate with tools/tpu_force_demo")
+        return vflat - jv
 
     t0 = _time.perf_counter()
     b = np.asarray(bar_dm_e, dtype=np.float64).ravel()

@@ -140,8 +140,21 @@ def _dens_threshold(dtype):
     """f32 needs a far larger screen: GGA potential terms scale like
     rho^(-11/3), which overflows f32 (max ~3e38) for rho below ~1e-8 —
     the masked lanes would then poison vxc = grad(Exc) with inf*0 NaNs
-    even though the energy primal is protected by the double-where."""
-    return DENS_THRESHOLD if dtype == jnp.float64 else 1e-7
+    even though the energy primal is protected by the double-where.
+
+    The TPU needs the same screen even at f64: its emulated-f64 pow
+    saturates at the f32 RANGE (CLAUDE.md), and while the energy and
+    first-order vxc chains stay under ~1e26 at rho=1e-12, the
+    SECOND-order chains of the adjoint/Hessian paths carry
+    rho^(-14/3)-class factors (~1e44) that overflow -> inf -> NaN in the
+    step-transpose VJP (measured: benzene B3LYP adjoint matvec non-finite
+    on the axon TPU, finite on CPU). Screening at 1e-7 costs ~<1e-9 Ha
+    of XC energy on production grids."""
+    if dtype != jnp.float64:
+        return 1e-7
+    if jax.default_backend() == "tpu":
+        return 1e-7
+    return DENS_THRESHOLD
 
 
 def _screen(mask, x, fill=1.0):
