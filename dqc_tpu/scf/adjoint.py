@@ -163,6 +163,30 @@ def energy_grad(qc, params=None):
     def energy_fn(d, th):
         return eng.energy(d, _with_ingraph_orth(th))
 
+    # DQC_TPU_ADJOINT_CPU_PULLBACK=1: run every COTANGENT-producing
+    # module (energy partials, bar_theta, per-part pullbacks) on the
+    # in-process CPU backend, keeping only the forward solve and the
+    # GMRES step-transpose matvecs on the device. Isolation knob for
+    # backend miscompiles of the big fused f64 VJP programs (the axon
+    # TPU demonstrably miscompiles one fused f64 op class already,
+    # scf/jk.expand_k_tensor).
+    # DEFAULT ON for non-CPU backends (measured on the axon TPU, benzene
+    # def2-SVP B3LYP: device cotangent modules give |dF| 1.4e-2 vs the
+    # CPU oracle — the fused-f64 miscompile class — while CPU pullbacks
+    # at the same forward state give ~1e-10-level parity; the emulated
+    # pow range also overflows the second-order chains outright unless
+    # the density screen is raised, DQC_TPU_DENS_SCREEN_TPU). Set =0 to
+    # force device pullbacks on a backend you trust.
+    cpu_pull = os.environ.get(
+        "DQC_TPU_ADJOINT_CPU_PULLBACK",
+        "0" if jax.default_backend() == "cpu" else "1") == "1"
+    import contextlib
+
+    def pull_ctx():
+        if cpu_pull and jax.default_backend() != "cpu":
+            return jax.default_device(jax.devices("cpu")[0])
+        return contextlib.nullcontext()
+
     # --- module 2: energy partials ------------------------------------
     if "e_partials" not in cache:
         @jax.jit
@@ -172,8 +196,12 @@ def energy_grad(qc, params=None):
             return e, bar_d, bar_th
         cache["e_partials"] = e_partials
     t0 = _time.perf_counter()
-    _, bar_dm_e, bar_theta_e = cache["e_partials"](dm, theta)
-    log(f"adjoint: energy partials in {_time.perf_counter()-t0:.2f}s")
+    with pull_ctx():
+        _, bar_dm_e, bar_theta_e = cache["e_partials"](
+            *(jax.device_put((dm, theta), jax.devices("cpu")[0])
+              if cpu_pull else (dm, theta)))
+    log(f"adjoint: energy partials in {_time.perf_counter()-t0:.2f}s"
+        f"{' [cpu]' if cpu_pull else ''}")
     if not np.all(np.isfinite(np.asarray(bar_dm_e))):
         raise RuntimeError(
             "adjoint: energy-partials VJP returned non-finite bar_dm "
@@ -189,9 +217,17 @@ def energy_grad(qc, params=None):
     shape = bar_dm_e.shape
 
     def matvec(vflat):
-        v = jnp.asarray(vflat.reshape(shape))
-        jv = np.asarray(cache["step_T_mv"](dm, theta, v),
-                        dtype=np.float64).ravel()
+        # the step-transpose is a second-order program too: run it with
+        # the cotangent modules' backend policy (see cpu_pull above)
+        with pull_ctx():
+            if cpu_pull:
+                cpu = jax.devices("cpu")[0]
+                args = jax.device_put(
+                    (dm, theta, jnp.asarray(vflat.reshape(shape))), cpu)
+            else:
+                args = (dm, theta, jnp.asarray(vflat.reshape(shape)))
+            jv = np.asarray(cache["step_T_mv"](*args),
+                            dtype=np.float64).ravel()
         if not np.all(np.isfinite(jv)):
             raise RuntimeError(
                 "adjoint: step-transpose matvec returned non-finite "
@@ -214,7 +250,10 @@ def energy_grad(qc, params=None):
             return vjp(v)[0]
         cache["step_theta_vjp"] = step_theta_vjp
     t0 = _time.perf_counter()
-    bar_theta_s = cache["step_theta_vjp"](dm, theta, lam)
+    with pull_ctx():
+        bar_theta_s = cache["step_theta_vjp"](
+            *(jax.device_put((dm, theta, lam), jax.devices("cpu")[0])
+              if cpu_pull else (dm, theta, lam)))
     bar_theta = {k: _add_bars(bar_theta_e.get(k), bar_theta_s.get(k))
                  for k in theta}
     bar_theta = {k: v for k, v in bar_theta.items()
@@ -235,8 +274,36 @@ def energy_grad(qc, params=None):
         shapes = jax.eval_shape(fn, params)
         bar_part = _zeros_cotangent(shapes, bar_theta)
         t0 = _time.perf_counter()
-        g = cache[key](params, bar_part)
+        if cpu_pull:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                g = cache[key](*jax.device_put((params, bar_part), cpu))
+            grad = jax.tree_util.tree_map(_add_bars, grad, g)
+            log(f"adjoint: part[{name}] pullback in "
+                f"{_time.perf_counter()-t0:.2f}s [cpu]")
+            continue
+        try:
+            g = cache[key](params, bar_part)
+            jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
+            tag = ""
+        except jax.errors.JaxRuntimeError as ex:
+            # some integral-build VJP programs exceed the chip's HBM
+            # under f64 emulation (each big f64 intermediate splits into
+            # f32 pairs; measured: a benzene def2-SVP quartet-block part
+            # VJP wants 17.3 G of 15.75 G). The split-module design makes
+            # the per-part pullback backend-agnostic: rerun just this
+            # part on the in-process CPU backend (LAPACK f64 — bitwise
+            # the same math that defines the CPU force oracle).
+            log(f"adjoint: part[{name}] device pullback failed "
+                f"({type(ex).__name__}); recomputing on the CPU backend")
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                pc = jax.device_put(params, cpu)
+                bc = jax.device_put(bar_part, cpu)
+                g = jax.jit(lambda p, b, fn=fn:
+                            jax.vjp(fn, p)[1](b)[0])(pc, bc)
+            tag = " [cpu]"
         grad = jax.tree_util.tree_map(_add_bars, grad, g)
         log(f"adjoint: part[{name}] pullback in "
-            f"{_time.perf_counter()-t0:.2f}s")
+            f"{_time.perf_counter()-t0:.2f}s{tag}")
     return grad

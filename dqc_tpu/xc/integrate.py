@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -152,7 +154,16 @@ def _dens_threshold(dtype):
     of XC energy on production grids."""
     if dtype != jnp.float64:
         return 1e-7
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("DQC_TPU_DENS_SCREEN_TPU") == "1"):
+        # opt-in: needed only if second-order functional-derivative
+        # chains must RUN ON the TPU (the adjoint defaults its cotangent
+        # modules to the CPU backend instead — scf/adjoint.py — both
+        # because of this overflow and because the big fused f64 VJP
+        # programs hit the backend's miscompile class: device pullbacks
+        # gave |dF| 1.4e-2 vs 3e-5 with CPU pullbacks at identical
+        # forward state). The 1e-7 screen costs ~3e-6 Ha / ~3e-5 in
+        # forces vs the 1e-12 screen on this system class.
         return 1e-7
     return DENS_THRESHOLD
 

@@ -12,6 +12,12 @@ import pytest
 
 import dqc_tpu
 from dqc_tpu.scf import qccalc as qmod
+from dqc_tpu.scf.fixed_point import SCFOptions
+
+# gradient-equality oracles need BOTH fixed points well below the assert
+# tolerances (the production tol default is 1e-8; two different solvers
+# each within 1e-8 of the true fixed point differ by ~1e-8)
+TIGHT = SCFOptions(tol=1e-12)
 
 DESC = "O 0 0 0.2217; H 0 1.4309 -0.8867; H 0 -1.4309 -0.8867"
 
@@ -22,7 +28,8 @@ def _maxdiff(a, b):
 
 def test_adjoint_matches_autodiff_ks_dense():
     """Dense-ERI hybrid KS: full params-tree gradient equality."""
-    qc = dqc_tpu.KS(dqc_tpu.Mol(DESC, basis="sto-3g", grid=1), xc="b3lyp")
+    qc = dqc_tpu.KS(dqc_tpu.Mol(DESC, basis="sto-3g", grid=1), xc="b3lyp",
+                    opts=TIGHT)
     qc.run()
     p = qc._all_params(with_fields=False)
     g_ref = jax.grad(qc.energy_fn)(p)
@@ -43,7 +50,7 @@ def test_adjoint_matches_autodiff_hf_blocked():
     old = qmod.DENSE_ERI_BYTES_LIMIT
     qmod.DENSE_ERI_BYTES_LIMIT = 0
     try:
-        qc = dqc_tpu.HF(dqc_tpu.Mol(DESC, basis="3-21g"))
+        qc = dqc_tpu.HF(dqc_tpu.Mol(DESC, basis="3-21g"), opts=TIGHT)
         qc.run()
         p = qc._all_params(with_fields=False)
         g_ref = jax.grad(qc.energy_fn)(p)
@@ -62,7 +69,8 @@ def test_adjoint_polarized_df():
     gradient legitimately differs between solvers at ~1e-5 — not a valid
     equality oracle."""
     mol = dqc_tpu.Mol(DESC, basis="sto-3g", grid=1).densityfit()
-    qc = dqc_tpu.KS(mol, xc="gga_x_pbe + gga_c_pbe", restricted=False)
+    qc = dqc_tpu.KS(mol, xc="gga_x_pbe + gga_c_pbe", restricted=False,
+                    opts=TIGHT)
     qc.run()
     p = qc._all_params(with_fields=False)
     g_ref = jax.grad(qc.energy_fn)(p)
