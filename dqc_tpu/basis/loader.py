@@ -58,7 +58,34 @@ def _get_data(basisname: str) -> dict:
         import importlib
         mod = importlib.import_module(f".sets.{modname}", package=__package__)
         _cache[modname] = mod.DATA
+        _nonverbatim[modname] = frozenset(getattr(mod, "NONVERBATIM", ()))
     return _cache[modname]
+
+
+_nonverbatim: Dict[str, frozenset] = {}
+_warned_nonverbatim: set = set()
+
+
+def _warn_if_nonverbatim(basisname: str, z: int) -> None:
+    """One-time-per-element warning when a standard basis name serves
+    digits that are not the verbatim published tables (memory-vendored or
+    variationally re-derived in this zero-egress build; ADVICE r3) —
+    users comparing against literature numbers must know."""
+    modname = _REGISTRY.get(_NORMALIZE(basisname))
+    if modname is None or z not in _nonverbatim.get(modname, ()):
+        return
+    key = (modname, z)
+    if key in _warned_nonverbatim:
+        return
+    _warned_nonverbatim.add(key)
+    import warnings
+    warnings.warn(
+        f"Basis {basisname!r} for Z={z}: the vendored digits are not the "
+        f"verbatim published tables (offline build; see the provenance "
+        f"tiers in dqc_tpu/basis/sets/{modname}.py). Energies can deviate "
+        f"from literature values computed with the standard set; drop in "
+        f"a Gaussian94 file for exact published parity.",
+        UserWarning, stacklevel=3)
 
 
 def loadbasis(cmd: str, normalize: bool = True) -> List[CGTOBasis]:
@@ -74,6 +101,7 @@ def loadbasis(cmd: str, normalize: bool = True) -> List[CGTOBasis]:
     data = _get_data(name.strip())
     if z not in data:
         raise ValueError(f"Basis {name!r} has no data for element Z={z}")
+    _warn_if_nonverbatim(name.strip(), z)
     res = []
     for (l, alphas, coeffs) in data[z]:
         b = CGTOBasis(angmom=l,

@@ -154,6 +154,15 @@ def energy_grad(qc, params=None):
     # the blocks path serves both (provably correct on the axon TPU)
     if "eri_k" in theta:
         theta.pop("eri_k")
+    theta.pop("eri_j", None)   # derived from eri_k; same reasoning
+    if "jkb0" not in theta:
+        # _maybe_expand_j evicts the quartet blocks to host once both
+        # dense layouts are trusted (HBM hygiene); with eri_k/eri_j
+        # popped the engine would have NO exchange path (df_k KeyError,
+        # ADVICE r3). Re-insert the saved host copies.
+        jkb_host = getattr(qc, "_jkb_host", None)
+        if jkb_host:
+            theta.update({k: jnp.asarray(v) for k, v in jkb_host.items()})
     dm = jnp.asarray(qc._dm)
     cache = qc.__dict__.setdefault("_adjoint_cache", {})
 
@@ -240,6 +249,18 @@ def energy_grad(qc, params=None):
     lam_flat, rel = _gmres(matvec, b, tol=1e-12)
     log(f"adjoint: lambda GMRES rel={rel:.2e} "
         f"in {_time.perf_counter()-t0:.2f}s")
+    if rel > 1e-8:
+        # the plain SC map's spectral radius commonly exceeds 1 (that is
+        # why DIIS exists), so (I - dstep/ddm)^T can be ill-conditioned
+        # for small-gap systems; a silently unconverged lambda would
+        # masquerade as a valid gradient (ADVICE r3)
+        import warnings
+        warnings.warn(
+            f"adjoint: lambda GMRES did not converge (rel={rel:.2e} > "
+            "1e-8); the returned gradient error is of the same order. "
+            "Small-gap system? Raise maxiter/restart in scf/adjoint._gmres "
+            "or use the monolithic energy_grad path.",
+            RuntimeWarning, stacklevel=2)
     lam = jnp.asarray(lam_flat.reshape(shape))
 
     # --- module 4: bar_theta ------------------------------------------

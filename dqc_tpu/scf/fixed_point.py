@@ -91,9 +91,13 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
 
     def body(state):
         it, ff, fhist, ehist, nfill, _, best_ff, best_err, best_it = state
-        f_new, e_new = step_flat(ff)
-        if opts.damping > 0.0:
-            f_new = (1.0 - opts.damping) * f_new + opts.damping * ff
+        f_raw, e_new = step_flat(ff)
+        # errnorm belongs to the UNDAMPED iterate f_raw (e_new is
+        # evaluated by step_flat before any mixing); best_ff must store
+        # the same f_raw or the returned "best" Fock's actual residual
+        # would not be best_err (ADVICE r3)
+        f_new = ((1.0 - opts.damping) * f_raw + opts.damping * ff
+                 if opts.damping > 0.0 else f_raw)
         errnorm = jnp.max(jnp.abs(e_new))
         # push into ring buffers
         slot = it % H
@@ -144,7 +148,7 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         # ill-conditioned B near convergence) must not discard the best
         # state seen; non-finite iterates never become "best"
         improved = jnp.isfinite(errnorm) & (errnorm < best_err)
-        best_ff = jnp.where(improved, f_new, best_ff)
+        best_ff = jnp.where(improved, f_raw, best_ff)
         best_err = jnp.where(improved, errnorm, best_err)
         best_it = jnp.where(improved, it, best_it)
         # a non-finite iterate poisons the history; freeze on the best

@@ -80,7 +80,21 @@ class SCF_QCCalc:
             dm_start = eng.dm_from_fock(f32_star, theta32).astype(jnp.float64)
 
         f0 = eng.fock(dm_start, theta)
-        f_star, _, _ = diis_solve(lambda f: step_and_err(f, theta), f0, opts)
+        f_star, _, best_err = diis_solve(
+            lambda f: step_and_err(f, theta), f0, opts)
+        # a diis_patience stall-exit returns the best iterate with no
+        # other signal, and an implicit-diff gradient's error scales with
+        # the fixed-point residual — surface the bail-out from inside the
+        # traced program (ADVICE r3; elides to nothing when converged).
+        # Host callbacks are only wired on the in-process backends; the
+        # axon remote tunnel must not see them.
+        if jax.default_backend() == "cpu":
+            jax.lax.cond(
+                best_err > opts.tol,
+                lambda e: jax.debug.print(
+                    "dqc-tpu: in-graph DIIS exited above tol (residual "
+                    "{e:.3e}); gradients inherit the residual", e=e),
+                lambda e: None, best_err)
         return eng.dm_from_fock(f_star, theta)
 
     def _variational_solver(self, theta, dm0):

@@ -35,6 +35,32 @@ def _load_atom_basis(z_int: int, basis) -> List[CGTOBasis]:
     raise TypeError(f"Cannot interpret basis spec: {basis!r}")
 
 
+def resolve_atom_bases(zs_int, basis) -> List[List[CGTOBasis]]:
+    """Resolve a user basis spec into per-atom CGTOBasis lists.
+
+    Accepted forms (parity: reference mol.py:110-121): a name, raw
+    Gaussian94 text, a flat List[CGTOBasis] (same shells on every atom),
+    a dict {Z or symbol: spec}, or a per-atom list of any of the above
+    (including List[List[CGTOBasis]])."""
+    out = []
+    per_atom = (isinstance(basis, (list, tuple)) and len(basis) > 0
+                and not isinstance(basis[0], CGTOBasis))
+    if per_atom and len(basis) != len(zs_int):
+        raise ValueError(
+            f"per-atom basis list has {len(basis)} entries for "
+            f"{len(zs_int)} atoms")
+    for i, zi in enumerate(zs_int):
+        if isinstance(basis, dict):
+            key = zi if zi in basis else (
+                [k for k in basis if get_atomz(k) == zi] or [None])[0]
+            out.append(_load_atom_basis(zi, basis[key]))
+        elif per_atom:
+            out.append(_load_atom_basis(zi, basis[i]))
+        else:
+            out.append(_load_atom_basis(zi, basis))
+    return out
+
+
 class Mol:
     """Isolated molecule.
 
@@ -66,16 +92,7 @@ class Mol:
 
         # basis per atom
         atombases = []
-        for i, zi in enumerate(self.zs_int):
-            if isinstance(basis, dict):
-                key = zi if zi in basis else (
-                    [k for k in basis if get_atomz(k) == zi] or [None])[0]
-                bas_i = _load_atom_basis(zi, basis[key])
-            elif isinstance(basis, (list, tuple)) and not (
-                    basis and isinstance(basis[0], CGTOBasis)):
-                bas_i = _load_atom_basis(zi, basis[i])
-            else:
-                bas_i = _load_atom_basis(zi, basis)
+        for i, bas_i in enumerate(resolve_atom_bases(self.zs_int, basis)):
             atombases.append(AtomCGTOBasis(atomz=self.zs_int[i], bases=bas_i,
                                            pos=np.asarray(self.atompos)[i]))
         self.atombases = atombases

@@ -31,10 +31,10 @@ class Sol:
         self.atomzs, self.atompos = parse_moldesc(soldesc)
         self.zs_int = [int(round(float(z))) for z in np.asarray(self.atomzs)]
         self.lattice = Lattice(alattice)
+        from .mol import resolve_atom_bases
         atombases = []
-        for i, zi in enumerate(self.zs_int):
-            bas_i = _load_atom_basis(zi, basis)
-            atombases.append(AtomCGTOBasis(atomz=zi, bases=bas_i,
+        for i, bas_i in enumerate(resolve_atom_bases(self.zs_int, basis)):
+            atombases.append(AtomCGTOBasis(atomz=self.zs_int[i], bases=bas_i,
                                            pos=np.asarray(self.atompos)[i]))
         self.atombases = atombases
         self.meta, self.params = pack_basis(atombases)

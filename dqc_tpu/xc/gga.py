@@ -121,13 +121,12 @@ class GGA_X_ITYH_B88(GGA_X_B88):
 
     @staticmethod
     def _att(a):
-        from jax.scipy.special import erf
-        a = jnp.maximum(a, 1e-10)          # a->0 limit is F=1 (full B88)
-        inv2a = 1.0 / (2.0 * a)
-        expo = jnp.exp(-jnp.minimum(inv2a * inv2a, 700.0))
-        br = (jnp.sqrt(jnp.pi) * erf(inv2a) - 3.0 * a + 4.0 * a ** 3
-              + (2.0 * a - 4.0 * a ** 3) * expo)
-        return jnp.clip(1.0 - (8.0 / 3.0) * a * br, 0.0, 1.0)
+        # Same F(a) as the SR-LDA kernel; _erf_attenuation carries the
+        # large-a asymptotic-series branch (the closed form cancels 4a^3
+        # terms against a ~a^-2 result and returns garbage beyond a~1e3;
+        # that bug shipped here once: full B88 at omega=1e5).
+        from .lda import _erf_attenuation
+        return jnp.clip(_erf_attenuation(jnp.maximum(a, 1e-10)), 0.0, 1.0)
 
     def _e_spin(self, ns, sigma_ss):
         e_full = GGA_X_B88._e_spin(self, ns, sigma_ss)
