@@ -80,4 +80,4 @@ def __getattr__(name):
     raise AttributeError(f"module 'dqc_tpu' has no attribute {name!r}")
 
 
-__version__ = "0.1.0"
+from ._version import __version__  # noqa: F401  (stamped in _version.py)

@@ -164,6 +164,37 @@ def coulomb_gweights(Gv, volume):
     return jnp.where(nz, 4.0 * jnp.pi / (volume * jnp.where(nz, g2, 1.0)), 0.0)
 
 
+def coulomb_gweights_sr(Gv, volume, omega):
+    """G-weights of the SHORT-RANGE erfc(omega r)/r Coulomb kernel:
+
+        w_G = 4 pi (1 - e^{-G^2/(4 omega^2)}) / (V G^2),
+        w_0 = pi / (omega^2 V)   (the finite G->0 limit)
+
+    The SR kernel's FT is finite at G=0, so the term is INCLUDED — no
+    jellium drop and no Madelung correction (the HSE-class treatment).
+    Long-range exchange is assembled as full - SR, with the full kernel
+    keeping its exxdiv treatment (aft_k)."""
+    om2 = jnp.asarray(omega, jnp.float64) ** 2
+    g2 = jnp.sum(jnp.asarray(Gv) ** 2, axis=-1)
+    nz = g2 > 1e-12
+    g2s = jnp.where(nz, g2, 1.0)
+    return jnp.where(
+        nz, 4.0 * jnp.pi * -jnp.expm1(-g2s / (4.0 * om2)) / (volume * g2s),
+        jnp.pi / (om2 * volume))
+
+
+def aft_k_weighted(pbcft_theta, dm, w):
+    """Exchange contraction of aft_k with explicit G-weights `w` and no
+    divergence correction (building block for SR/LR range-separated
+    exchange)."""
+    R, I = pbcft_theta["Fre"], pbcft_theta["Fim"]
+    w = w.astype(dm.dtype)
+    tR = jnp.einsum("gik,...kl->...gil", R, dm)
+    tI = jnp.einsum("gik,...kl->...gil", I, dm)
+    return (jnp.einsum("...gil,g,gjl->...ij", tR, w, R)
+            + jnp.einsum("...gil,g,gjl->...ij", tI, w, I))
+
+
 def aft_j(pbcft_theta, dm):
     """Coulomb matrix J_ij = sum_G w_G Re[rho(G) conj(F_ij(G))] with
     rho(G) = sum_kl dm_kl F_kl(G)."""
@@ -196,12 +227,7 @@ def aft_k(theta, dm):
     dm: (..., nao, nao) real; returns the same shape.
     """
     p = theta["pbcft"]
-    R, I, w = p["Fre"], p["Fim"], p["wcoul"]
-    w = w.astype(dm.dtype)
-    tR = jnp.einsum("gik,...kl->...gil", R, dm)
-    tI = jnp.einsum("gik,...kl->...gil", I, dm)
-    k = (jnp.einsum("...gil,g,gjl->...ij", tR, w, R)
-         + jnp.einsum("...gil,g,gjl->...ij", tI, w, I))
+    k = aft_k_weighted(p, dm, p["wcoul"])
     mad = p.get("madelung")
     if mad is not None:
         s = theta["ovlp"]

@@ -128,6 +128,16 @@ class HFEngine:
         key = f"eri_lr{i}"
         if key in theta:
             return jnp.einsum("ikjl,...kl->...ij", theta[key], dm)
+        if "pbcft" in theta:
+            # PBC range separation in G-space: LR = full - SR, where the
+            # SR (erfc) kernel weights wsr{i} are finite at G=0 (no
+            # divergence treatment) and the full kernel keeps its
+            # Madelung exxdiv correction (ops/pbcft.coulomb_gweights_sr).
+            # HSE-class screened hybrids come out as
+            # hyb*K_full + c_lr*K_lr with c_lr = -hyb_sr.
+            from ..ops.pbcft import aft_k, aft_k_weighted
+            return aft_k(theta, dm) - aft_k_weighted(
+                theta["pbcft"], dm, theta["pbcft"][f"wsr{i}"])
         from .df import df_k
         return df_k(theta[f"df_lr{i}"], dm)
 

@@ -84,7 +84,7 @@ def madelung_constant(lattice) -> float:
 
 
 def build_pbc_core_theta(sol, params, atomzs, *, precision: float = 1e-9,
-                         madelung=None, gdf_aux=None):
+                         madelung=None, gdf_aux=None, lr_omegas=()):
     """params -> theta for the gamma-point PBC SCF: real ovlp/hcore from
     lattice sums + AFT, pair-FT Coulomb factors, Ewald nuclei energy.
 
@@ -125,8 +125,19 @@ def build_pbc_core_theta(sol, params, atomzs, *, precision: float = 1e-9,
         theta["pbcft"] = {"Fre": Fre, "Fim": Fim, "wcoul": w,
                           "madelung": madelung}
     else:
+        if lr_omegas:
+            raise NotImplementedError(
+                "range-separated exchange with PBC density fitting is not "
+                "supported yet; use the AFT path (no densityfit())")
         theta["df"] = build_pbc_gdf(Fre, Fim, w, gdf_aux[0], gdf_aux[1],
                                     Gv, madelung=madelung, ovlp=ovlp)
+    # RSH: short-range (erfc) kernel G-weights per distinct omega — the
+    # SR kernel FT is finite at G=0 (pi/omega^2/V), so these carry no
+    # Madelung term; engine._k_lr assembles LR = full - SR
+    from ..ops.pbcft import coulomb_gweights_sr
+    for i, om in enumerate(lr_omegas):
+        theta["pbcft"][f"wsr{i}"] = coulomb_gweights_sr(
+            Gv, lat.volume(), om)
     return theta
 
 

@@ -1481,10 +1481,6 @@ def _pbc_ks(sol, xc, *, restricted=None, opts=None):
                       setup_pbc_grid_theta)
     if isinstance(xc, str):
         xc = get_xc(xc)
-    if getattr(xc, "exx_lr", ()):
-        raise NotImplementedError(
-            "range-separated exact exchange is molecular-only for now "
-            "(PBC exact exchange uses the G-space pair-FT path)")
     opts = opts or SCFOptions()
     polarized = sol.polarized if restricted is None else (not restricted)
     occ = _occ_array(sol, polarized)
@@ -1492,7 +1488,10 @@ def _pbc_ks(sol, xc, *, restricted=None, opts=None):
     ls_ao = sol.lattice.get_lattice_ls(
         estimate_rcut(sol.meta, sol.params, 1e-8))
     engine = KSEngine(xc, polarized=polarized)
-    needs_k = getattr(xc, "exx_fraction", 0.0) != 0.0
+    lr_omegas = tuple(w for _, w in getattr(xc, "exx_lr", ()))
+    # the FULL-kernel half of every LR term (engine._k_lr: LR = full - SR)
+    # needs the Madelung exxdiv treatment just like global exact exchange
+    needs_k = (getattr(xc, "exx_fraction", 0.0) != 0.0 or bool(lr_omegas))
     mad = (madelung_constant(sol.lattice)
            if (needs_k and opts.exxdiv == "ewald") else None)
     gdfset = _df_setup(sol)
@@ -1500,7 +1499,8 @@ def _pbc_ks(sol, xc, *, restricted=None, opts=None):
     def build_theta(params):
         theta = build_pbc_core_theta(sol, params["basis"], params["atomzs"],
                                      madelung=mad,
-                                     gdf_aux=_pbc_gdf_aux(gdfset, params))
+                                     gdf_aux=_pbc_gdf_aux(gdfset, params),
+                                     lr_omegas=lr_omegas)
         theta["occ"] = occ
         theta["grid"] = setup_pbc_grid_theta(
             sol.meta, params["basis"], pbcgrid, ls_ao, family=xc.family)

@@ -197,11 +197,20 @@ def test_lc_lda_force_fd():
     assert abs(float(g[1, 0]) - float(fd)) < 1e-6
 
 
-def test_rsh_pbc_raises():
+def test_rsh_pbc_gates():
+    """Gamma-point PBC RSH is supported (tests/test_pbc.py); the k-point
+    and PBC-densityfit RSH paths are still explicit capability gates."""
     from dqc_tpu import Sol
-    sol = Sol("H 0 0 0", alattice=np.eye(3) * 3.0, basis="sto-3g")
+    kpts = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, np.pi / 3.0]])
+    sol_k = Sol("H 0 0 0", alattice=np.eye(3) * 3.0, basis="sto-3g",
+                kpts=kpts)
     with pytest.raises(NotImplementedError):
-        dqc_tpu.KS(sol, xc="lda_x_erf(0.3) + 1*lr_hf(0.3)")
+        dqc_tpu.KS(sol_k, xc="lda_x_erf(0.3) + 1*lr_hf(0.3)")
+    sol_df = Sol("H 0 0 0", alattice=np.eye(3) * 3.0,
+                 basis="sto-3g", spin=1).densityfit(method="gdf")
+    qc = dqc_tpu.KS(sol_df, xc="lda_x_erf(0.3) + 1*lr_hf(0.3)")
+    with pytest.raises(NotImplementedError):
+        qc.run()
 
 
 def test_ityh_b88_limits():
