@@ -1,0 +1,202 @@
+"""Integrity probes for the derived dense-ERI layouts (eri_k / eri_j).
+
+The axon TPU demonstrably miscompiles one fused f64 op class (the
+add+transpose symmetrization inside scf/jk.expand_k_tensor at >=~98 MB,
+distilled in tools/expand_k_repro.py), so every derived dense layout is
+guarded by runtime probes before the engine is allowed to contract
+against it:
+
+  expand_k (probe_expand_k):
+    1. expand the exchange-layout tensor on device from the trusted
+       quartet blocks;
+    2. checksum K against the blocks path with a fixed symmetric probe
+       density (two *device* paths agreeing does not prove either is
+       right, so)
+    3. when the nao^4 tensor is host-affordable AND (the paths disagree
+       OR force_abs), a host-numpy oracle (expand_k_tensor_host)
+       arbitrates: device tensor kept (verdict True), replaced by the
+       host-expanded tensor, or dropped entirely (blocks path serves).
+       J from the blocks is checked against the same oracle (warn-only:
+       the bench/energy gate rejects the mode if J is bad).
+
+  expand_j (maybe_expand_j):
+    derive the Coulomb layout by a BARE transpose of a trusted eri_k
+    (the miscompiling fused add+transpose class is not involved), probe
+    it against the blocks J, and on success evict the quartet-block
+    device buffers to host copies (HBM hygiene: eri_k + eri_j + blocks
+    + f32 phase copies exceeded HBM on the first eri_j bench).
+
+Factored out of scf/qccalc.py (VERDICT r3 item 10) so the
+probe/arbitrate/evict state machine is directly unit-testable
+(tests/test_integrity.py) — it was previously interleaved through the
+1,600-line driver.
+"""
+from __future__ import annotations
+
+import time as _time
+import warnings as _warnings
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.logger import log
+
+# nao^4 f64 bytes above which the host-numpy oracle is unaffordable
+HOST_ORACLE_BYTES = 4 * 1024 ** 3
+
+
+def expand_k_into(theta, bmeta, jkm, fn_cache: dict):
+    """Expand theta['eri_k'] on device from the quartet blocks (cached
+    jitted expansion in fn_cache['expand_k'])."""
+    from .jk import expand_k_tensor, theta_blocks
+    fn = fn_cache.get("expand_k")
+    if fn is None:
+        fn = jax.jit(lambda bl: expand_k_tensor(bmeta, jkm, bl))
+        fn_cache["expand_k"] = fn
+    _t0 = _time.perf_counter()
+    theta["eri_k"] = fn(theta_blocks(theta, jkm))
+    log(f"theta[eri_k] expanded in {_time.perf_counter() - _t0:.1f}s")
+
+
+def host_expand_k_into(theta, bmeta, jkm):
+    """Host-numpy expansion (the arbitration oracle itself) — used when
+    the device expansion is already known-bad for this calc."""
+    from .jk import expand_k_tensor_host, theta_blocks
+    _t0 = _time.perf_counter()
+    theta["eri_k"] = jnp.asarray(expand_k_tensor_host(
+        bmeta, jkm, [np.asarray(b) for b in theta_blocks(theta, jkm)]))
+    log(f"theta[eri_k] host-expanded (device expansion known-bad) in "
+        f"{_time.perf_counter() - _t0:.1f}s")
+
+
+def probe_expand_k(theta, bmeta, jkm, nao: int, *,
+                   force_abs: bool = False,
+                   host_limit_bytes: int = HOST_ORACLE_BYTES
+                   ) -> bool:
+    """Checksum/arbitrate theta['eri_k'] in place.
+
+    Returns the device-expansion verdict: True (trusted — the absolute
+    oracle passed, or the relative blocks-path probe passed without the
+    oracle being warranted: the known axon miscompile class fails it at
+    rel ~0.5), or False (failed; theta now carries the host-expanded
+    tensor or no eri_k at all). Mutates theta.
+    """
+    from .jk import expand_k_tensor_host, jk_from_blocks, theta_blocks
+    rng = np.random.default_rng(0)
+    probe_np = rng.standard_normal((nao, nao))
+    probe_np = probe_np + probe_np.T
+    probe = jnp.asarray(probe_np)
+    k_dev = np.asarray(jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe))
+    j_blk, k_blk = jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm),
+                                  probe, want_j=True, want_k=True)
+    j_blk, k_blk = np.asarray(j_blk), np.asarray(k_blk)
+    rel = (np.abs(k_dev - k_blk).max()
+           / max(np.abs(k_blk).max(), 1e-300))
+    # the absolute host oracle costs ~100 s/GB of first-touch page
+    # faults on this class of VM (see bench.py's malloc tunables), so by
+    # default it arbitrates only when the device paths disagree;
+    # DQC_TPU_JK_ORACLE=1 (set by bench.py) forces it.
+    if nao ** 4 * 8 > host_limit_bytes or not (rel > 1e-10 or force_abs):
+        if rel > 1e-10:
+            _warnings.warn(
+                f"exchange-layout ERI expansion disagrees with the "
+                f"blocks-path K (rel {rel:.2e}); falling back to the "
+                f"blocks path")
+            del theta["eri_k"]
+            return False
+        log(f"theta[eri_k] probe ok (paths rel {rel:.1e})")
+        return True
+    g_host = expand_k_tensor_host(
+        bmeta, jkm, [np.asarray(b) for b in theta_blocks(theta, jkm)])
+    k_ref = np.einsum("ijkl,kl->ij", g_host, probe_np)
+    scale_k = max(np.abs(k_ref).max(), 1e-300)
+    e_dev = np.abs(k_dev - k_ref).max() / scale_k
+    e_blk = np.abs(k_blk - k_ref).max() / scale_k
+    # exchange layout G_K[a,c,b,d] = (ab|cd): J_ij = G_K[i,k,j,l] D_kl
+    j_ref = np.einsum("ikjl,kl->ij", g_host, probe_np)
+    e_j = (np.abs(j_blk - j_ref).max()
+           / max(np.abs(j_ref).max(), 1e-300))
+    if e_j > 1e-10:
+        _warnings.warn(
+            f"blocked J contraction disagrees with the host oracle "
+            f"(rel {e_j:.2e}) — Coulomb builds on this backend are "
+            f"suspect")
+    if e_dev <= 1e-10:
+        log(f"theta[eri_k] probe ok (oracle rel {e_dev:.1e})")
+        return True
+    theta["eri_k"] = jnp.asarray(g_host)
+    k3 = np.asarray(jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe))
+    e_hst = np.abs(k3 - k_ref).max() / scale_k
+    _warnings.warn(
+        f"device-expanded exchange ERI failed the host oracle "
+        f"(dev {e_dev:.2e}, blocks {e_blk:.2e}, host-expanded "
+        f"{e_hst:.2e}); "
+        + ("using the host-expanded tensor" if e_hst <= 1e-10
+           else "dropping eri_k"))
+    if e_hst > 1e-10:
+        del theta["eri_k"]
+        if e_blk > 1e-10:
+            _warnings.warn(
+                "blocks-path K also disagrees with the host oracle — "
+                "exchange on this backend is untrustworthy")
+    return False
+
+
+def maybe_expand_j(theta, bmeta, jkm, nao: int, *, bytes_limit: int,
+                   fn_cache: dict) -> Tuple[dict, Optional[dict]]:
+    """Derive the Coulomb-layout dense ERI from a trusted eri_k:
+    G_J = eri_k.transpose(0,2,1,3), so J = einsum("ijkl,kl->ij") is a
+    flat trailing-axis MXU matvec like K (the per-iteration blocks-J is
+    a batched-tiny-einsum path, ~2-3x slower on the axon TPU). Bare
+    transpose only — the fused add+transpose class that XLA:TPU
+    miscompiles (scf/jk.expand_k_tensor) is not involved — plus a
+    device-side probe against the blocks J as defense in depth.
+
+    Returns (theta, jkb_host): jkb_host is the dict of evicted
+    quartet-block host copies when both dense layouts are trusted
+    (None if nothing was evicted).
+    """
+    if "eri_k" not in theta or "jkb0" not in theta:
+        return theta, None
+    if nao ** 4 * 8 > bytes_limit:
+        return theta, None
+    from .jk import jk_from_blocks, theta_blocks
+    _t0 = _time.perf_counter()
+    fn = fn_cache.get("expand_j")
+    if fn is None:
+        fn = jax.jit(lambda g: jnp.transpose(g, (0, 2, 1, 3)))
+        fn_cache["expand_j"] = fn
+    eri_j = fn(theta["eri_k"])
+    rng = np.random.default_rng(1)
+    probe_np = rng.standard_normal((nao, nao))
+    probe = jnp.asarray(probe_np + probe_np.T)
+    j_dev = np.asarray(jnp.einsum("ijkl,kl->ij", eri_j, probe))
+    j_blk, _ = jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm),
+                              probe, want_j=True, want_k=False)
+    j_blk = np.asarray(j_blk)
+    rel = (np.abs(j_dev - j_blk).max()
+           / max(np.abs(j_blk).max(), 1e-300))
+    if rel > 1e-10:
+        _warnings.warn(
+            f"Coulomb-layout ERI transpose disagrees with the blocks "
+            f"J (rel {rel:.2e}); keeping the blocks path")
+        return theta, None
+    theta["eri_j"] = eri_j
+    # HBM hygiene: with both dense layouts trusted, the quartet blocks
+    # are only fallback/probe material — evict their device buffers (the
+    # first eri_j bench OOM'd the TPU: eri_k + eri_j + blocks + the f32
+    # phase copies exceeded HBM). Host copies go back to the caller for
+    # probes and safe-mode retries; phase theta dicts must NOT carry
+    # numpy leaves (jit would re-transfer per call), so the keys are
+    # removed outright.
+    jkb = {k: np.asarray(v) for k, v in theta.items()
+           if k.startswith("jkb")}
+    if jkb:
+        theta = {k: v for k, v in theta.items()
+                 if not k.startswith("jkb")}
+    log(f"theta[eri_j] derived in {_time.perf_counter() - _t0:.1f}s "
+        f"(probe rel {rel:.1e}; {len(jkb)} block tensors evicted "
+        f"to host)")
+    return theta, (jkb or None)

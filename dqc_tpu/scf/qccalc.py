@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..utils.datastruct import SpinParam
 from .engine import HFEngine, KSEngine
+from . import integrity
 from .fixed_point import SCFOptions, diis_solve, implicit_fixed_point
 from .hamilton import build_core_theta
 
@@ -848,169 +849,41 @@ class SCF_QCCalc:
         def finish(th):
             return self._maybe_expand_j(th)
 
+        # Integrity-guarded derived dense layouts (probe/arbitrate/evict
+        # state machine factored into scf/integrity.py, unit-tested in
+        # tests/test_integrity.py — VERDICT r3 item 10).
         exp = getattr(self, "_expand_k_info", None)
         if exp is not None and getattr(self, "_expand_k_device_ok",
                                        None) is False:
             # device expansion already failed its probe on this calc:
             # skip the wasted 1.35 GB device program and host-expand
             # (when host-affordable; else blocks path)
-            if self.mol.meta.nao ** 4 * 8 <= 4 * 1024 ** 3:
-                from .jk import expand_k_tensor_host, theta_blocks
-                bmeta, jkm = exp
-                _t0 = _time.perf_counter()
-                theta["eri_k"] = jnp.asarray(expand_k_tensor_host(
-                    bmeta, jkm,
-                    [np.asarray(b) for b in theta_blocks(theta, jkm)]))
-                log(f"theta[eri_k] host-expanded (device expansion "
-                    f"known-bad) in {_time.perf_counter() - _t0:.1f}s")
+            if self.mol.meta.nao ** 4 * 8 <= integrity.HOST_ORACLE_BYTES:
+                integrity.host_expand_k_into(theta, exp[0], exp[1])
             return finish(theta)
         if exp is not None:
             # derived exchange-layout ERI: recomputed from the cached
             # blocks (cheap scatter+transposes), never disk-cached
-            from .jk import expand_k_tensor, theta_blocks
             bmeta, jkm = exp
-            fn = getattr(self, "_expand_k_fn", None)
-            if fn is None:
-                fn = jax.jit(lambda bl: expand_k_tensor(bmeta, jkm, bl))
-                self._expand_k_fn = fn
-            _t0 = _time.perf_counter()
-            theta["eri_k"] = fn(theta_blocks(theta, jkm))
-            log(f"theta[eri_k] expanded in "
-                f"{_time.perf_counter() - _t0:.1f}s")
-            # integrity probes: guard against backend miscompiles of the
-            # large f64 scatter/transpose/contraction programs. Two device
-            # paths agreeing does not prove either is right, so a
-            # host-numpy oracle (expand_k_tensor_host) arbitrates whenever
-            # the nao^4 tensor is host-affordable; J from the blocks is
-            # checked against the same oracle (warn-only: the bench/energy
-            # gate rejects the mode if J is bad).
-            import warnings as _warnings
-            from .jk import expand_k_tensor_host, jk_from_blocks
-            nao = self.mol.meta.nao
-            rng = np.random.default_rng(0)
-            probe_np = rng.standard_normal((nao, nao))
-            probe_np = probe_np + probe_np.T
-            probe = jnp.asarray(probe_np)
-            k_dev = np.asarray(
-                jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe))
-            j_blk, k_blk = jk_from_blocks(
-                bmeta, jkm, theta_blocks(theta, jkm), probe,
-                want_j=True, want_k=True)
-            j_blk, k_blk = np.asarray(j_blk), np.asarray(k_blk)
-            rel = (np.abs(k_dev - k_blk).max()
-                   / max(np.abs(k_blk).max(), 1e-300))
-            # the absolute host oracle costs ~100 s/GB of first-touch page
-            # faults on this class of VM (see bench.py's malloc tunables),
-            # so by default it arbitrates only when the device paths
-            # disagree; DQC_TPU_JK_ORACLE=1 (set by bench.py) forces it.
-            force_abs = os.environ.get("DQC_TPU_JK_ORACLE") == "1"
-            if nao ** 4 * 8 > 4 * 1024 ** 3 or not (rel > 1e-10
-                                                    or force_abs):
-                if rel > 1e-10:
-                    _warnings.warn(
-                        f"exchange-layout ERI expansion disagrees with "
-                        f"the blocks-path K (rel {rel:.2e}); falling back "
-                        f"to the blocks path")
-                    del theta["eri_k"]
-                    self._expand_k_device_ok = False
-                else:
-                    log(f"theta[eri_k] probe ok (paths rel {rel:.1e})")
-                    self._expand_k_device_ok = True
-                return finish(theta)
-            g_host = expand_k_tensor_host(
-                bmeta, jkm, [np.asarray(b) for b in
-                             theta_blocks(theta, jkm)])
-            k_ref = np.einsum("ijkl,kl->ij", g_host, probe_np)
-            scale_k = max(np.abs(k_ref).max(), 1e-300)
-            e_dev = np.abs(k_dev - k_ref).max() / scale_k
-            e_blk = np.abs(k_blk - k_ref).max() / scale_k
-            # exchange layout G_K[a,c,b,d] = (ab|cd): J_ij = G_K[i,k,j,l] D_kl
-            j_ref = np.einsum("ikjl,kl->ij", g_host, probe_np)
-            e_j = (np.abs(j_blk - j_ref).max()
-                   / max(np.abs(j_ref).max(), 1e-300))
-            if e_j > 1e-10:
-                _warnings.warn(
-                    f"blocked J contraction disagrees with the host "
-                    f"oracle (rel {e_j:.2e}) — Coulomb builds on this "
-                    f"backend are suspect")
-            self._expand_k_device_ok = bool(e_dev <= 1e-10)
-            if e_dev > 1e-10:
-                theta["eri_k"] = jnp.asarray(g_host)
-                k3 = np.asarray(
-                    jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe))
-                e_hst = np.abs(k3 - k_ref).max() / scale_k
-                _warnings.warn(
-                    f"device-expanded exchange ERI failed the host oracle "
-                    f"(dev {e_dev:.2e}, blocks {e_blk:.2e}, host-expanded "
-                    f"{e_hst:.2e}); "
-                    + ("using the host-expanded tensor" if e_hst <= 1e-10
-                       else "dropping eri_k"))
-                if e_hst > 1e-10:
-                    del theta["eri_k"]
-                    if e_blk > 1e-10:
-                        _warnings.warn(
-                            "blocks-path K also disagrees with the host "
-                            "oracle — exchange on this backend is "
-                            "untrustworthy")
-            else:
-                log(f"theta[eri_k] probe ok (oracle rel {e_dev:.1e})")
+            fn_cache = self.__dict__.setdefault("_integrity_fns", {})
+            integrity.expand_k_into(theta, bmeta, jkm, fn_cache)
+            self._expand_k_device_ok = integrity.probe_expand_k(
+                theta, bmeta, jkm, self.mol.meta.nao,
+                force_abs=os.environ.get("DQC_TPU_JK_ORACLE") == "1")
         return finish(theta)
 
     def _maybe_expand_j(self, theta):
-        """Derive the Coulomb-layout dense ERI from a trusted eri_k:
-        G_J = eri_k.transpose(0,2,1,3), so J = einsum("ijkl,kl->ij") is a
-        flat trailing-axis MXU matvec like K (the per-iteration blocks-J
-        is a batched-tiny-einsum path, ~2-3x slower on the axon TPU).
-        Bare transpose only — the fused add+transpose class that XLA:TPU
-        miscompiles (scf/jk.expand_k_tensor) is not involved — plus a
-        device-side probe against the blocks J as defense in depth."""
-        if "eri_k" not in theta or "jkb0" not in theta:
+        """Coulomb-layout dense ERI from a trusted eri_k + quartet-block
+        eviction (scf/integrity.maybe_expand_j)."""
+        if getattr(self, "_expand_k_info", None) is None:
             return theta
-        if self.mol.meta.nao ** 4 * 8 > EXPAND_J_BYTES_LIMIT:
-            return theta
-        import time as _time
-        import warnings as _warnings
-        from ..utils.logger import log
-        from .jk import jk_from_blocks, theta_blocks
-        _t0 = _time.perf_counter()
-        fn = getattr(self, "_expand_j_fn", None)
-        if fn is None:
-            fn = jax.jit(lambda g: jnp.transpose(g, (0, 2, 1, 3)))
-            self._expand_j_fn = fn
-        eri_j = fn(theta["eri_k"])
-        nao = self.mol.meta.nao
-        rng = np.random.default_rng(1)
-        probe_np = rng.standard_normal((nao, nao))
-        probe = jnp.asarray(probe_np + probe_np.T)
-        j_dev = np.asarray(jnp.einsum("ijkl,kl->ij", eri_j, probe))
         bmeta, jkm = self._expand_k_info
-        j_blk, _ = jk_from_blocks(bmeta, jkm, theta_blocks(theta, jkm),
-                                  probe, want_j=True, want_k=False)
-        j_blk = np.asarray(j_blk)
-        rel = (np.abs(j_dev - j_blk).max()
-               / max(np.abs(j_blk).max(), 1e-300))
-        if rel > 1e-10:
-            _warnings.warn(
-                f"Coulomb-layout ERI transpose disagrees with the blocks "
-                f"J (rel {rel:.2e}); keeping the blocks path")
-            return theta
-        theta["eri_j"] = eri_j
-        # HBM hygiene: with both dense layouts trusted, the quartet
-        # blocks are only fallback/probe material — evict their device
-        # buffers (the first eri_j bench OOM'd the TPU: eri_k + eri_j +
-        # blocks + the f32 phase copies exceeded HBM). Host copies stay
-        # on the calc for probes and safe-mode retries; phase theta dicts
-        # must NOT carry numpy leaves (jit would re-transfer per call),
-        # so the keys are removed outright.
-        jkb = {k: np.asarray(v) for k, v in theta.items()
-               if k.startswith("jkb")}
-        if jkb:
-            self._jkb_host = jkb
-            theta = {k: v for k, v in theta.items()
-                     if not k.startswith("jkb")}
-        log(f"theta[eri_j] derived in {_time.perf_counter() - _t0:.1f}s "
-            f"(probe rel {rel:.1e}; {len(jkb)} block tensors evicted "
-            f"to host)")
+        fn_cache = self.__dict__.setdefault("_integrity_fns", {})
+        theta, jkb_host = integrity.maybe_expand_j(
+            theta, bmeta, jkm, self.mol.meta.nao,
+            bytes_limit=EXPAND_J_BYTES_LIMIT, fn_cache=fn_cache)
+        if jkb_host is not None:
+            self._jkb_host = jkb_host
         return theta
 
     def _all_params(self, with_fields: bool = True):

@@ -45,8 +45,6 @@ qc.run()   # drives the full ladder; leaves caches warm
 print(f"[probe] first run done in {time.time()-t0:.1f}s", flush=True)
 
 # Reproduce _host_solve's setup: host LAPACK X into theta
-theta = qc._materialize_theta(qc._all_params()) if hasattr(
-    qc, "_materialize_theta") else qc._theta
 theta = dict(qc._theta)
 eng = qc.engine
 s_h = np.asarray(theta["ovlp"], dtype=np.float64)
@@ -86,7 +84,8 @@ if jit_step is None:
 f0 = np.asarray(jit_step(jnp.asarray(d0, dtype=jnp.float64), theta)[0])
 
 t0 = time.time()
-fstar = qc._device_phase(theta, f0, 1e-8, 60, "probe64")
+# match the run's (tol, maxiter) so the cached while_loop module is reused
+fstar = qc._device_phase(theta, f0, qc.opts.tol, qc.opts.maxiter, "probe64")
 print(f"[probe] device phase: {time.time()-t0:.1f}s", flush=True)
 
 from dqc_tpu.scf.purify import fock_to_dm_purify
