@@ -145,7 +145,13 @@ def _watchdog():
 
 def _on_signal(signum, frame):
     _note(f"signal {signum} — flushing best-so-far result")
-    _emit(provisional=True)
+    # a banked, energy-ok headline measurement IS final even when the
+    # driver cuts us off mid-extras (the r3 run was demoted to
+    # "provisional" by a SIGTERM during the post-measurement cpu-anchor)
+    with _LOCK:
+        p = _BEST["payload"]
+    complete = bool(p and p["extra"].get("energy_ok"))
+    _emit(provisional=not complete)
     sys.stdout.flush()
     os._exit(0)
 
@@ -220,7 +226,11 @@ def measure(basis, cache_dir):
             for k, v in saved.items():
                 setattr(qmod, k, overrides.get(k, v))
             e, t_first, t_steady, nao, phases = run_once(basis, cache_dir)
-            ok = (abs(e - ref) < 1e-4) if ref is not None else None
+            # uHa-grade gate (VERDICT r3 item 3): TPU-vs-CPU same-code f64
+            # agrees to ~1e-11 here; 3e-6 catches real numeric defects
+            # (this code has already caught two TPU miscompiles) while
+            # allowing cross-arithmetic headroom.
+            ok = (abs(e - ref) < 3e-6) if ref is not None else None
             result = (tag, e, t_first, t_steady, nao, ok)
             _record(tag, basis, e, t_first, t_steady, nao, ok, phases)
             if ok is not False:
@@ -306,26 +316,45 @@ def main():
     # denominator. Runs AFTER the TPU result is banked so it can never eat
     # the budget; skippable via BENCH_NO_CPU_ANCHOR.
     if not os.environ.get("BENCH_NO_CPU_ANCHOR"):
-        out = _cpu_subprocess(
-            ["tools/cpu_anchor.py", basis],
-            timeout_s=float(os.environ.get(
-                "BENCH_CPU_ANCHOR_TIMEOUT_S", "1800")),
-            tag=f"cpu-anchor[{basis}]")
-        if out is not None and out.returncode == 0:
+        # the TPU measurement is already banked — emit a final line NOW so
+        # a driver timeout during the anchor cannot demote the run to
+        # "provisional" (VERDICT r3 weak #3: the r3 final emit was a
+        # SIGTERM flush because the anchor ate the remaining budget)
+        _emit(provisional=False)
+        anchor = None
+        anchor_cache = os.path.join(cache_dir,
+                                    f".bench_cpu_anchor_{basis}.json")
+        if os.path.exists(anchor_cache):
             try:
-                _EXTRA_INFO["cpu_anchor"] = json.loads(
-                    out.stdout.strip().splitlines()[-1])
-                with _LOCK:   # re-annotate the banked payload
-                    p = _BEST["payload"]
-                if p is not None:
-                    ex = p["extra"]
-                    ex["cpu_anchor"] = _EXTRA_INFO["cpu_anchor"]
-                    st = _EXTRA_INFO["cpu_anchor"].get("steady_seconds")
-                    if st:
-                        ex["vs_same_code_cpu"] = round(
-                            st / max(p["value"], 1e-9), 2)
-            except Exception as exc:  # noqa: BLE001
-                _note(f"cpu-anchor parse failed: {exc!r}")
+                with open(anchor_cache) as fh:
+                    anchor = json.load(fh)
+                _note(f"cpu-anchor[{basis}]: loaded from disk cache")
+            except Exception:  # noqa: BLE001 — cache is best-effort
+                anchor = None
+        if anchor is None:
+            out = _cpu_subprocess(
+                ["tools/cpu_anchor.py", basis],
+                timeout_s=float(os.environ.get(
+                    "BENCH_CPU_ANCHOR_TIMEOUT_S", "900")),
+                tag=f"cpu-anchor[{basis}]")
+            if out is not None and out.returncode == 0:
+                try:
+                    anchor = json.loads(out.stdout.strip().splitlines()[-1])
+                    with open(anchor_cache, "w") as fh:
+                        json.dump(anchor, fh)
+                except Exception as exc:  # noqa: BLE001
+                    _note(f"cpu-anchor parse failed: {exc!r}")
+        if anchor is not None:
+            _EXTRA_INFO["cpu_anchor"] = anchor
+            with _LOCK:   # re-annotate the banked payload
+                p = _BEST["payload"]
+            if p is not None:
+                ex = p["extra"]
+                ex["cpu_anchor"] = anchor
+                st = anchor.get("steady_seconds")
+                if st:
+                    ex["vs_same_code_cpu"] = round(
+                        st / max(p["value"], 1e-9), 2)
     _emit(provisional=False)
 
 

@@ -314,12 +314,25 @@ def jk_from_blocks(meta: BasisMeta, jk_meta, blocks, dm,
     """J and/or K from precomputed canonical quartet blocks (theta
     "jk_blocks"): pure density contractions — MXU/HBM-bandwidth bound,
     ~1000x cheaper than re-assembling the quartets per Fock build. Used
-    when the canonical block set fits in HBM (scf/qccalc._jk_mode)."""
+    when the canonical block set fits in HBM (scf/qccalc._jk_mode).
+
+    Mesh-aware (SURVEY §2.10 "kernel parallel"): under an active mesh
+    with a 'tp' axis, each combo's quartet block is sharded along its
+    bra-pair axis (axis 0 — the largest, uniformly SPMD) and the outputs
+    are constrained replicated, so GSPMD partitions every contraction
+    across devices and inserts the psum over ICI. Validated
+    sharded==unsharded on the virtual 8-device CPU mesh
+    (tests/test_parallel.py) and exercised by dryrun phase 4."""
+    from ..parallel.mesh import active_mesh, shard_axis, replicated
     nao = meta.nao
     pol = dm.ndim == 3
     dmt = dm.sum(axis=0) if pol else dm
     dmk = dm if pol else dm[None]
     ns = dmk.shape[0]
+    mesh = active_mesh()
+    if mesh is not None and "tp" in mesh.axis_names:
+        blocks = [shard_axis(b, "tp", 0) for b in blocks]
+        dmt, dmk = replicated(dmt), replicated(dmk)
     Jflat = jnp.zeros((nao * nao,), dtype=dmt.dtype)
     K = jnp.zeros((ns, nao, nao), dtype=dmt.dtype)
     for ci, (gi, gj) in enumerate(jk_combos(jk_meta)):
@@ -329,6 +342,8 @@ def jk_from_blocks(meta: BasisMeta, jk_meta, blocks, dm,
             Jflat = Jflat + Jadd
         if Kadd is not None:
             K = K + Kadd
+    if mesh is not None and "tp" in mesh.axis_names:
+        Jflat, K = replicated(Jflat), replicated(K)
     return _jk_symmetrize(Jflat, K, nao, pol, want_j, want_k)
 
 

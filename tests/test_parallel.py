@@ -168,3 +168,47 @@ def test_k_sharded_pbc_step_matches_unsharded():
             lambda d, t: eng.energy(eng.step(d, t), t))(dmk, th))
 
     assert e_k == pytest.approx(e_ref, abs=1e-11)
+
+
+def test_tp_sharded_quartet_blocks_jk_matches_unsharded():
+    """The exact-exchange quartet-block path (the headline kernel,
+    scf/jk.jk_from_blocks) sharded along each block's bra-pair axis over
+    the 'tp' mesh axis == unsharded (VERDICT r3 item 6). Covers both the
+    J scatter-adds and the 4-pairing K einsums under GSPMD partitioning
+    + psum."""
+    from dqc_tpu.scf import qccalc as qmod
+    from dqc_tpu.scf.jk import jk_from_blocks, theta_blocks
+
+    saved = qmod.DENSE_ERI_BYTES_LIMIT
+    qmod.DENSE_ERI_BYTES_LIMIT = 0     # force the blocked-quartet path
+    try:
+        mol = dqc_tpu.Mol(WATER, basis="3-21g", grid=0)
+        qc = dqc_tpu.HF(mol)
+        assert qc._expand_k_info is not None
+        theta = qc._build_theta(qc._all_params(with_fields=False))
+        theta.pop("eri_k", None)       # exercise the blocks contraction
+        bmeta, jkm = qc._expand_k_info
+    finally:
+        qmod.DENSE_ERI_BYTES_LIMIT = saved
+
+    rng = np.random.default_rng(5)
+    d = rng.standard_normal((mol.meta.nao, mol.meta.nao))
+    dm = jnp.asarray(d + d.T)
+    blocks = theta_blocks(theta, jkm)
+
+    fn = jax.jit(lambda bl, dd: jk_from_blocks(bmeta, jkm, bl, dd))
+    j0, k0 = fn(blocks, dm)
+    mesh = make_mesh(n_tp=8)
+    with use_mesh(mesh):
+        fn_sh = jax.jit(lambda bl, dd: jk_from_blocks(bmeta, jkm, bl, dd))
+        j1, k1 = fn_sh(blocks, dm)
+    np.testing.assert_allclose(np.asarray(j1), np.asarray(j0),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k0),
+                               rtol=0, atol=1e-10)
+    # and the full SCF energy through the sharded engine path
+    e0 = float(qc.run().energy())
+    qc2 = dqc_tpu.HF(dqc_tpu.Mol(WATER, basis="3-21g", grid=0))
+    with use_mesh(mesh):
+        e1 = float(qc2.run().energy())
+    assert abs(e1 - e0) < 1e-8, (e1, e0)
