@@ -59,9 +59,57 @@ def _memo(qc, key, compute):
     return cache[key]
 
 
+def _use_adjoint(qc) -> bool:
+    """Route second derivatives through the split-module adjoint HVP
+    (scf/adjoint.energy_hvp) instead of jax.hessian of the monolithic
+    energy_fn. Default: whenever the SCF itself needed the host-driven
+    path (the monolithic traced program is exactly what cannot compile
+    on the remote TPU AOT compiler at that scale, HOST_LOOP_NAO
+    rationale). Override with DQC_TPU_PROPS_ADJOINT=1/0."""
+    import os
+    env = os.environ.get("DQC_TPU_PROPS_ADJOINT")
+    if env is not None:
+        return env == "1"
+    return qc.mol.meta.nao >= getattr(qc, "HOST_LOOP_NAO", 1 << 30)
+
+
+def _hvp_cols(qc, directions):
+    """Split-module HVP columns: [dgrad(params) . v for v in directions].
+    Returns the list of full-params gradient-tangent pytrees."""
+    from ..scf.adjoint import energy_hvp, _zeros_tangent
+    p = _params(qc)
+    qc.energy_grad(p)     # primes / reuses the adjoint state at p
+    out = []
+    for setter in directions:
+        v = _zeros_tangent(p)
+        setter(v)
+        out.append(energy_hvp(qc, v, p))
+    return out
+
+
 def hessian_pos(qc):
-    """d2E/dpos2: (natoms*3, natoms*3). Parity: reference properties.py:343."""
+    """d2E/dpos2: (natoms*3, natoms*3). Parity: reference properties.py:343.
+
+    At host-loop scale the full Hessian is assembled column-by-column from
+    split-module HVPs (exact second derivatives through the SCF fixed
+    point; scf/adjoint.energy_hvp) — the monolithic jax.hessian path
+    cannot compile on the remote TPU AOT compiler there."""
     def go():
+        if _use_adjoint(qc):
+            p = _params(qc)
+            n3 = int(np.prod(np.asarray(p["basis"]["atompos"]).shape))
+
+            def setter(i):
+                def s(v):
+                    vp = np.zeros(n3)
+                    vp[i] = 1.0
+                    v["basis"]["atompos"] = jnp.asarray(
+                        vp.reshape(-1, 3))
+                return s
+            cols = _hvp_cols(qc, [setter(i) for i in range(n3)])
+            h = np.stack([np.asarray(c["basis"]["atompos"]).ravel()
+                          for c in cols], axis=1)
+            return jnp.asarray(0.5 * (h + h.T))
         fn, x0 = _wrt_atompos(qc)
         return jax.hessian(fn)(x0)
     return _memo(qc, "hessian_pos", go)
@@ -115,6 +163,23 @@ def polarizability(qc, unit: str = "a.u."):
     differentiates once more (beyond the reference, which exposes no
     polarizability API)."""
     p0 = _params(qc)
+
+    if _use_adjoint(qc):
+        def setter(i):
+            def s(v):
+                ve = np.zeros(3)
+                ve[i] = 1.0
+                v["efield"] = jnp.asarray(ve)
+            return s
+        cols = _hvp_cols(qc, [setter(i) for i in range(3)])
+        a = -np.stack([np.asarray(c["efield"]) for c in cols], axis=1)
+        alpha = jnp.asarray(0.5 * (a + a.T))
+        if unit.lower() in ("angst^3", "angstrom^3"):
+            from ..utils.units import BOHR_TO_ANGSTROM
+            alpha = alpha * BOHR_TO_ANGSTROM ** 3
+        elif unit.lower() != "a.u.":
+            raise ValueError(f"unknown polarizability unit {unit!r}")
+        return alpha
 
     def fn(ef):
         p = jax.tree_util.tree_map(lambda x: x, p0)
@@ -182,21 +247,41 @@ def ir_spectrum(qc, freq_unit: str = "cm^-1", ints_unit: str = "km/mol"):
     freqs, modes = vibration(qc, freq_unit)
     p0 = _params(qc)
 
-    def dip_of_pos(flat_pos):
-        p = jax.tree_util.tree_map(lambda x: x, p0)
-        p["basis"] = dict(p0["basis"])
-        p["basis"]["atompos"] = flat_pos.reshape(-1, 3)
+    if _use_adjoint(qc):
+        # dmu_elec/dx = -d2E/dpos defield from THREE split-module field
+        # HVPs (scf/adjoint.energy_hvp); the nuclear dipole derivative
+        # d(sum_a Z_a R_a)/dR is the analytic Z_a * I3 block (the energy
+        # excludes the nuclei-field term — see edipole)
+        def setter(i):
+            def s(v):
+                ve = np.zeros(3)
+                ve[i] = 1.0
+                v["efield"] = jnp.asarray(ve)
+            return s
+        cols = _hvp_cols(qc, [setter(i) for i in range(3)])
+        dmu = -np.stack([np.asarray(c["basis"]["atompos"]).ravel()
+                         for c in cols], axis=0)     # (3, 3N) electronic
+        zs = np.asarray(p0["atomzs"])
+        for a in range(len(zs)):
+            dmu[:, 3 * a:3 * a + 3] += zs[a] * np.eye(3)
+        dmu_dx = jnp.asarray(dmu)
+    else:
+        def dip_of_pos(flat_pos):
+            p = jax.tree_util.tree_map(lambda x: x, p0)
+            p["basis"] = dict(p0["basis"])
+            p["basis"]["atompos"] = flat_pos.reshape(-1, 3)
 
-        def fn_e(ef):
-            q = jax.tree_util.tree_map(lambda x: x, p)
-            q["efield"] = ef
-            return _efn(qc)(q)
-        mu_e = -jax.grad(fn_e)(p0["efield"])
-        zs = p0["atomzs"]
-        return mu_e + jnp.einsum("a,ad->d", zs, flat_pos.reshape(-1, 3))
+            def fn_e(ef):
+                q = jax.tree_util.tree_map(lambda x: x, p)
+                q["efield"] = ef
+                return _efn(qc)(q)
+            mu_e = -jax.grad(fn_e)(p0["efield"])
+            zs = p0["atomzs"]
+            return mu_e + jnp.einsum("a,ad->d", zs,
+                                     flat_pos.reshape(-1, 3))
 
-    x0 = p0["basis"]["atompos"].reshape(-1)
-    dmu_dx = jax.jacfwd(dip_of_pos)(x0)              # (3, 3N)
+        x0 = p0["basis"]["atompos"].reshape(-1)
+        dmu_dx = jax.jacfwd(dip_of_pos)(x0)          # (3, 3N)
     m = _mass_vector(qc)
     dmu_dq = dmu_dx @ (modes / jnp.sqrt(m)[:, None])  # (3, nmodes)
     inten = jnp.sum(dmu_dq ** 2, axis=0)

@@ -327,4 +327,225 @@ def energy_grad(qc, params=None):
         grad = jax.tree_util.tree_map(_add_bars, grad, g)
         log(f"adjoint: part[{name}] pullback in "
             f"{_time.perf_counter()-t0:.2f}s{tag}")
+    # second-derivative machinery (energy_hvp) reuses the converged primal
+    # adjoint state: lambda and the per-part cotangents
+    qc._adjoint_state = {"params": params, "theta": theta, "dm": dm,
+                         "lam": lam, "bar_theta": bar_theta,
+                         "cpu_pull": cpu_pull}
     return grad
+
+
+def _zeros_tangent(tree):
+    """Tangent pytree of zeros matching `tree` (float0 for non-inexact)."""
+    def z(x):
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+            return jnp.zeros(jnp.shape(x), jnp.asarray(x).dtype)
+        return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+    return jax.tree_util.tree_map(z, tree)
+
+
+def energy_hvp(qc, v, params=None):
+    """Hessian-vector product (d^2 E/dparams^2) . v by forward-over-reverse
+    differentiation of the split-module adjoint — exact second derivatives
+    through the SCF fixed point at scales where jax.hessian of the
+    monolithic energy_fn cannot compile on the remote TPU AOT compiler
+    (VERDICT r3 item 5; reference analog: torch autograd.functional over
+    properties.py:343-436, monolithic only).
+
+    v: tangent pytree matching `params` (zeros except the probed
+    direction; non-inexact leaves may be float0 or zeros — they are
+    coerced). Returns dgrad = d/d(eps) grad(params + eps v) at eps=0.
+
+    Derivation (all at the converged (dm*, theta, lambda)):
+      dtheta   = (dtheta/dp) v                     [jvp of each part]
+      ddm      : (I - J) ddm = (dstep/dtheta) dtheta, J = dstep/ddm
+      dbar_dm  , dbar_th_e = jvp of the energy-partials module
+      dlambda  : (I - J^T) dlambda = dbar_dm + d(J^T lambda)
+      dbar_th  = dbar_th_e + jvp of the step-theta VJP module
+      dgrad    = sum_parts jvp of the part-pullback modules
+    Every stage is its own jitted module (the same granularity that lets
+    the forward build + gradient compile remotely)."""
+    from ..utils.logger import log
+    import time as _time
+    eng = qc.engine
+    st = getattr(qc, "_adjoint_state", None)
+    if st is None or (params is not None
+                      and st.get("params") is not params):
+        energy_grad(qc, params)
+        st = qc._adjoint_state
+    params = st["params"]
+    theta, dm, lam = st["theta"], st["dm"], st["lam"]
+    cpu_pull = st["cpu_pull"]
+    cache = qc.__dict__.setdefault("_adjoint_cache", {})
+
+    # coerce v into a well-typed tangent for `params`
+    vz = _zeros_tangent(params)
+
+    def merge(z, t):
+        if t is None or _is_float0(z) or _is_float0(t):
+            return z
+        return jnp.asarray(t, z.dtype)
+    v = jax.tree_util.tree_map(merge, vz, v)
+
+    def step_fn(d, th):
+        return eng.step(d, _with_ingraph_orth(th))
+
+    def energy_fn(d, th):
+        return eng.energy(d, _with_ingraph_orth(th))
+
+    import contextlib
+
+    def pull_ctx():
+        if cpu_pull and jax.default_backend() != "cpu":
+            return jax.default_device(jax.devices("cpu")[0])
+        return contextlib.nullcontext()
+
+    def dev_put(x):
+        return jax.device_put(x, jax.devices("cpu")[0]) if cpu_pull else x
+
+    theta_z = _zeros_tangent(theta)
+    dm_z = jnp.zeros_like(dm)
+
+    # --- stage 1: theta tangents (per-part jvp modules) -----------------
+    parts = getattr(qc, "_theta_parts", None) or {"all": qc._build_theta}
+    dtheta = {}
+    t0 = _time.perf_counter()
+    for name, fn in parts.items():
+        key = f"part_jvp/{name}"
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda p, t, fn=fn: jax.jvp(fn, (p,), (t,)))
+        with pull_ctx():
+            th_p, dth_p = cache[key](*dev_put((params, v)))
+        dtheta.update(dth_p)
+    # entries of theta not produced by the part fns (e.g. jkb blocks
+    # reinserted from the host copies) get zero tangents; entries the
+    # parts produce but theta dropped (eri_k/eri_j) are discarded
+    dtheta = {k: dtheta.get(k, theta_z[k]) for k in theta}
+    log(f"adjoint-hvp: theta tangents in {_time.perf_counter()-t0:.2f}s")
+
+    # --- stage 2: ddm solve (I - J) ddm = dstep_theta . dtheta ----------
+    if "step_jvp" not in cache:
+        @jax.jit
+        def step_jvp(d, th, dd, dth):
+            return jax.jvp(step_fn, (d, th), (dd, dth))[1]
+        cache["step_jvp"] = step_jvp
+    shape = dm.shape
+
+    def fwd_matvec(uflat):
+        with pull_ctx():
+            jv = np.asarray(cache["step_jvp"](
+                *dev_put((dm, theta, jnp.asarray(uflat.reshape(shape)),
+                          theta_z))), dtype=np.float64).ravel()
+        if not np.all(np.isfinite(jv)):
+            raise RuntimeError("adjoint-hvp: step jvp non-finite")
+        return uflat - jv
+
+    t0 = _time.perf_counter()
+    with pull_ctx():
+        rhs_ddm = np.asarray(cache["step_jvp"](
+            *dev_put((dm, theta, dm_z, dtheta))), dtype=np.float64).ravel()
+    ddm_flat, rel1 = _gmres(fwd_matvec, rhs_ddm, tol=1e-12)
+    log(f"adjoint-hvp: ddm GMRES rel={rel1:.2e} "
+        f"in {_time.perf_counter()-t0:.2f}s")
+    ddm = jnp.asarray(ddm_flat.reshape(shape))
+
+    # --- stage 3: tangents of the energy partials -----------------------
+    if "e_partials_jvp" not in cache:
+        @jax.jit
+        def e_partials_jvp(d, th, dd, dth):
+            def ep(d_, th_):
+                e, vjp = jax.vjp(energy_fn, d_, th_)
+                bar_d, bar_th = vjp(jnp.ones((), e.dtype))
+                return bar_d, bar_th
+            return jax.jvp(ep, (d, th), (dd, dth))[1]
+        cache["e_partials_jvp"] = e_partials_jvp
+    t0 = _time.perf_counter()
+    with pull_ctx():
+        dbar_dm_e, dbar_theta_e = cache["e_partials_jvp"](
+            *dev_put((dm, theta, ddm, dtheta)))
+    log(f"adjoint-hvp: energy-partials jvp in "
+        f"{_time.perf_counter()-t0:.2f}s")
+
+    # --- stage 4: dlambda solve ----------------------------------------
+    if "step_T_mv_jvp" not in cache:
+        @jax.jit
+        def step_T_mv_jvp(d, th, lam_, dd, dth):
+            def mv(d_, th_):
+                _, vjp = jax.vjp(lambda dd_: step_fn(dd_, th_), d_)
+                return vjp(lam_)[0]
+            return jax.jvp(mv, (d, th), (dd, dth))[1]
+        cache["step_T_mv_jvp"] = step_T_mv_jvp
+    if "step_T_mv" not in cache:
+        @jax.jit
+        def step_T_mv(d, th, v_):
+            _, vjp = jax.vjp(lambda dd: step_fn(dd, th), d)
+            return vjp(v_)[0]
+        cache["step_T_mv"] = step_T_mv
+
+    def t_matvec(uflat):
+        with pull_ctx():
+            jv = np.asarray(cache["step_T_mv"](
+                *dev_put((dm, theta, jnp.asarray(uflat.reshape(shape))))),
+                dtype=np.float64).ravel()
+        return uflat - jv
+
+    t0 = _time.perf_counter()
+    with pull_ctx():
+        d_JTlam = np.asarray(cache["step_T_mv_jvp"](
+            *dev_put((dm, theta, lam, ddm, dtheta))),
+            dtype=np.float64).ravel()
+    rhs_dlam = np.asarray(dbar_dm_e, dtype=np.float64).ravel() + d_JTlam
+    dlam_flat, rel2 = _gmres(t_matvec, rhs_dlam, tol=1e-12)
+    log(f"adjoint-hvp: dlambda GMRES rel={rel2:.2e} "
+        f"in {_time.perf_counter()-t0:.2f}s")
+    if max(rel1, rel2) > 1e-8:
+        import warnings
+        warnings.warn(
+            f"adjoint-hvp: tangent linear solves did not converge "
+            f"(rel={max(rel1, rel2):.2e}); the HVP error is of the same "
+            "order.", RuntimeWarning, stacklevel=2)
+    dlam = jnp.asarray(dlam_flat.reshape(shape))
+
+    # --- stage 5: dbar_theta -------------------------------------------
+    if "step_theta_vjp_jvp" not in cache:
+        @jax.jit
+        def step_theta_vjp_jvp(d, th, lam_, dd, dth, dlam_):
+            def sv(d_, th_, l_):
+                _, vjp = jax.vjp(lambda t: step_fn(d_, t), th_)
+                return vjp(l_)[0]
+            return jax.jvp(sv, (d, th, lam_), (dd, dth, dlam_))[1]
+        cache["step_theta_vjp_jvp"] = step_theta_vjp_jvp
+    t0 = _time.perf_counter()
+    with pull_ctx():
+        dbar_theta_s = cache["step_theta_vjp_jvp"](
+            *dev_put((dm, theta, lam, ddm, dtheta, dlam)))
+    dbar_theta = {k: _add_bars(dbar_theta_e.get(k), dbar_theta_s.get(k))
+                  for k in theta}
+    dbar_theta = {k: vv for k, vv in dbar_theta.items()
+                  if vv is not None and not _is_float0(vv)}
+    log(f"adjoint-hvp: dbar_theta in {_time.perf_counter()-t0:.2f}s")
+
+    # --- stage 6: per-part pullback tangents ---------------------------
+    bar_theta = st["bar_theta"]
+    dgrad = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for name, fn in parts.items():
+        key = f"part_vjp_jvp/{name}"
+        if key not in cache:
+            @jax.jit
+            def part_vjp_jvp(p, bar, vp, dbar, fn=fn):
+                def pv(p_, b_):
+                    _, vjp = jax.vjp(fn, p_)
+                    return vjp(b_)[0]
+                return jax.jvp(pv, (p, bar), (vp, dbar))[1]
+            cache[key] = part_vjp_jvp
+        shapes = jax.eval_shape(fn, params)
+        bar_part = _zeros_cotangent(shapes, bar_theta)
+        dbar_part = _zeros_cotangent(shapes, dbar_theta)
+        t0 = _time.perf_counter()
+        with pull_ctx():
+            g = cache[key](*dev_put((params, bar_part, v, dbar_part)))
+        dgrad = jax.tree_util.tree_map(_add_bars, dgrad, g)
+        log(f"adjoint-hvp: part[{name}] jvp-pullback in "
+            f"{_time.perf_counter()-t0:.2f}s")
+    return dgrad

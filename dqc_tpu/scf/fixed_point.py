@@ -37,9 +37,12 @@ class SCFOptions(NamedTuple):
     method: str = "diis"        # "diis" | "variational" (reference parity:
     #                             scf_qccalc.py's two solution modes)
     var_maxiter: int = 400      # BFGS iterations for the variational mode
-    orb_param: str = "matexp"   # "matexp" | "qr" orbital parametrization for
-    #                             the variational mode (reference parity:
-    #                             orbparams.py QROrbParams/MatExpOrbParams)
+    orb_param: str = "matexp"   # "matexp" | "qr" | "ov" orbital
+    #                             parametrization for the variational mode
+    #                             (reference parity: orbparams.py
+    #                             QROrbParams/MatExpOrbParams; "ov" is the
+    #                             scalable occ x virt rotation block —
+    #                             nocc*nvirt parameters instead of n^2)
     # mixed precision: converge an f32 DIIS phase first (native MXU speed on
     # TPU, where f64 matmuls are ~100x slower emulated), then polish in f64
     # from the f32 density. The final f64 phase owns the convergence
@@ -92,10 +95,16 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
     def body(state):
         it, ff, fhist, ehist, nfill, _, best_ff, best_err, best_it = state
         f_raw, e_new = step_flat(ff)
-        # errnorm belongs to the UNDAMPED iterate f_raw (e_new is
-        # evaluated by step_flat before any mixing); best_ff must store
-        # the same f_raw or the returned "best" Fock's actual residual
-        # would not be best_err (ADVICE r3)
+        # errnorm belongs to the PAIR (f_raw, state(ff)): step_and_err
+        # derives the density from the INPUT ff and measures the new
+        # Fock's commutator against it. The pair-consistent solution is
+        # therefore ff itself — dm_from_fock(ff) reproduces the density
+        # whose residual is best_err. Returning f_raw instead hands the
+        # caller a Fock whose OWN density is one more application of the
+        # (non-contractive) SC map away: the residual gets amplified by
+        # the map Jacobian (measured ~47x at benzene/def2-SVP — the
+        # device phase exits at 5.7e-9 and the host verifier read 2.7e-7,
+        # re-burning ~4 LAPACK polish iterations, BENCH_r03).
         f_new = ((1.0 - opts.damping) * f_raw + opts.damping * ff
                  if opts.damping > 0.0 else f_raw)
         errnorm = jnp.max(jnp.abs(e_new))
@@ -146,9 +155,10 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         ff_next = jnp.where(use_diis, f_diis, f_new)
         # best-iterate tracking: a diverging extrapolation (f32 floors,
         # ill-conditioned B near convergence) must not discard the best
-        # state seen; non-finite iterates never become "best"
+        # state seen; non-finite iterates never become "best". Stores the
+        # INPUT ff (pair-consistent, see above), not the output f_raw.
         improved = jnp.isfinite(errnorm) & (errnorm < best_err)
-        best_ff = jnp.where(improved, f_raw, best_ff)
+        best_ff = jnp.where(improved, ff, best_ff)
         best_err = jnp.where(improved, errnorm, best_err)
         best_it = jnp.where(improved, it, best_it)
         # a non-finite iterate poisons the history; freeze on the best

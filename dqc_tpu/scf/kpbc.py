@@ -60,7 +60,8 @@ def kmesh_supercell(lattice, kpts):
 
 
 def build_kpbc_exx_theta(meta, params, params_np, lattice, Gv, kpts,
-                         precision: float = 1e-9, kpts_bra=None):
+                         precision: float = 1e-9, kpts_bra=None,
+                         lr_omegas=()):
     """Mixed Bloch pair-FT tensors for k-point exact exchange.
 
     For each ordered (k, k') pair, with q = k' - k:
@@ -73,9 +74,16 @@ def build_kpbc_exx_theta(meta, params, params_np, lattice, Gv, kpts,
     kpts_bra (default = kpts) lets the bra axis differ from the mesh —
     the rectangular (band-k x mesh-k') case used by band_energies.
 
-    Returns {"Are","Aim": (nkb,nk,ng,nao,nao), "wq": (nkb,nk,ng)}.
-    Beyond the reference: its PBC exact exchange is NotImplemented
-    (hcgto_pbc.py:183-185)."""
+    lr_omegas: per-term range-separation omegas (xc.exx_lr). For each, a
+    SHORT-RANGE erfc(omega r)/r weight stack "wqsr{i}" is added —
+    4pi(1-e^{-|q+G|^2/(4 omega^2)})/(V |q+G|^2), finite (pi/(omega^2 V))
+    at q+G=0, so it carries NO divergence drop and no Madelung term; the
+    engine assembles LR = full - SR (the same convention as the gamma AFT
+    path, ops/pbcft.coulomb_gweights_sr).
+
+    Returns {"Are","Aim": (nkb,nk,ng,nao,nao), "wq": (nkb,nk,ng),
+    "wqsr{i}": ...}. Beyond the reference: its PBC exact exchange is
+    NotImplemented (hcgto_pbc.py:183-185)."""
     from ..ops.pbcft import pbc_pair_ft_k, pbc_pair_plan_ordered
     plan = pbc_pair_plan_ordered(meta, params_np, lattice, precision)
     kpts = np.asarray(kpts)
@@ -83,8 +91,10 @@ def build_kpbc_exx_theta(meta, params, params_np, lattice, Gv, kpts,
     nk = len(kpts)
     vol = lattice.volume()
     Are, Aim, wq = [], [], []
+    wsr = [[] for _ in lr_omegas]
     for i in range(len(kpts_bra)):
         re_i, im_i, w_i = [], [], []
+        wsr_i = [[] for _ in lr_omegas]
         for j in range(nk):
             q = kpts[j] - kpts_bra[i]
             gvq = Gv + q[None, :]
@@ -93,14 +103,25 @@ def build_kpbc_exx_theta(meta, params, params_np, lattice, Gv, kpts,
             im_i.append(m[0])
             g2 = jnp.sum(jnp.asarray(gvq) ** 2, axis=-1)
             nzero = g2 > 1e-12
-            w_i.append(jnp.where(
-                nzero, 4.0 * jnp.pi / (vol * jnp.where(nzero, g2, 1.0)),
-                0.0))
+            g2s = jnp.where(nzero, g2, 1.0)
+            w_i.append(jnp.where(nzero, 4.0 * jnp.pi / (vol * g2s), 0.0))
+            for t, om in enumerate(lr_omegas):
+                om2 = float(om) ** 2
+                wsr_i[t].append(jnp.where(
+                    nzero,
+                    4.0 * jnp.pi * -jnp.expm1(-g2s / (4.0 * om2))
+                    / (vol * g2s),
+                    jnp.pi / (om2 * vol)))
         Are.append(jnp.stack(re_i))
         Aim.append(jnp.stack(im_i))
         wq.append(jnp.stack(w_i))
-    return {"Are": jnp.stack(Are), "Aim": jnp.stack(Aim),
-            "wq": jnp.stack(wq)}
+        for t in range(len(lr_omegas)):
+            wsr[t].append(jnp.stack(wsr_i[t]))
+    out = {"Are": jnp.stack(Are), "Aim": jnp.stack(Aim),
+           "wq": jnp.stack(wq)}
+    for t in range(len(lr_omegas)):
+        out[f"wqsr{t}"] = jnp.stack(wsr[t])
+    return out
 
 
 def build_kpbc_grid(sol, params, kpts, family: int):
@@ -143,7 +164,7 @@ def build_kpbc_grid(sol, params, kpts, family: int):
 
 def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
                      family: int = 1, with_exx: bool = False,
-                     madelung=None):
+                     madelung=None, lr_omegas=()):
     """params -> theta for the k-point PBC SCF (complex tensors)."""
     meta = sol.meta
     lat = sol.lattice
@@ -191,7 +212,8 @@ def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
     }
     if with_exx:
         theta["exx"] = build_kpbc_exx_theta(meta, params, sol.params, lat,
-                                            Gv, kpts, precision)
+                                            Gv, kpts, precision,
+                                            lr_omegas=lr_omegas)
         theta["exx"]["madelung"] = madelung
     return theta
 
@@ -214,6 +236,13 @@ class KPBCEngine:
         self.nao = nao
         self.polarized = polarized
         self.hyb = float(getattr(xc, "exx_fraction", 0.0))
+        # range-separated terms [(coef, omega), ...]: LR exchange assembled
+        # as K_full - K_sr per term (weights "wqsr{i}" in theta["exx"])
+        self.exx_lr = tuple(getattr(xc, "exx_lr", ()) or ())
+
+    @property
+    def has_exx(self):
+        return self.hyb != 0.0 or bool(self.exx_lr)
 
     def dm_tot(self, dm):
         return dm.sum(axis=0) if self.polarized else dm
@@ -313,35 +342,52 @@ class KPBCEngine:
         return exc, v
 
     # --- exact exchange ---------------------------------------------------
-    def _k(self, dm, theta):
-        """K^k_ij = sum_k' w_k' sum_G w(q+G) [A dm^{k'} A^H]_ij with the
+    def _k_all(self, dm, theta):
+        """(K_full, [K_lr per exx_lr term]) sharing one half-transform.
+
+        K^k_ij = sum_k' w_k' sum_G w(q+G) [A dm^{k'} A^H]_ij with the
         mixed Bloch pair-FT stack A = A^{kk'}(G) (build_kpbc_exx_theta),
-        plus the Madelung G=0 correction K^k += M S^k dm^k S^k. Leading
-        spin axis broadcasts (per-spin exchange)."""
+        plus the Madelung G=0 correction K^k += M S^k dm^k S^k on the
+        FULL kernel only. Long-range terms are K_full - K_sr with the
+        finite-at-G=0 SR weights "wqsr{i}" (no Madelung — same convention
+        as the gamma path, engine._k_lr). Leading spin axis broadcasts
+        (per-spin exchange)."""
         ex = theta["exx"]
         A = _c(ex["Are"], ex["Aim"])                 # (nk,nk,g,i,a)
         wk = theta["wk"].astype(jnp.float64)
         t = jnp.einsum("xygia,...yab->...xygib", A, dm)
-        k = jnp.einsum("xyg,y,...xygib,...xygjb->...xij", ex["wq"], wk, t,
-                       jnp.conj(A))
+
+        def contract(w):
+            return jnp.einsum("xyg,y,...xygib,...xygjb->...xij", w, wk, t,
+                              jnp.conj(A))
+
+        k = contract(ex["wq"])
+        k_lrs = [k - contract(ex[f"wqsr{i}"])
+                 for i in range(len(self.exx_lr))]
         mad = ex.get("madelung")
         if mad is not None:
             s = theta["ovlp"]
-            k = k + mad * jnp.einsum("kij,...kjl,klm->...kim", s, dm, s)
-        return k
+            corr = mad * jnp.einsum("kij,...kjl,klm->...kim", s, dm, s)
+            k = k + corr
+            # LR = full - SR inherits the full kernel's exxdiv correction
+            k_lrs = [kl + corr for kl in k_lrs]
+        return k, k_lrs
+
+    def _k(self, dm, theta):
+        return self._k_all(dm, theta)[0]
 
     # --- SCF pieces -------------------------------------------------------
     def fock(self, dm, theta):
         _, v = self._exc_vxc(dm, theta)
         hj = theta["hcore"] + self._j(self.dm_tot(dm), theta)
-        if self.polarized:
-            f = hj[None] + v
+        f = (hj[None] + v) if self.polarized else (hj + v)
+        if self.has_exx:
+            k, k_lrs = self._k_all(dm, theta)
+            fac = 1.0 if self.polarized else 0.5
             if self.hyb != 0.0:
-                f = f - self.hyb * self._k(dm, theta)
-        else:
-            f = hj + v
-            if self.hyb != 0.0:
-                f = f - 0.5 * self.hyb * self._k(dm, theta)
+                f = f - fac * self.hyb * k
+            for (c, _), klr in zip(self.exx_lr, k_lrs):
+                f = f - fac * c * klr
         return f
 
     def dm_from_fock(self, fock, theta):
@@ -368,12 +414,18 @@ class KPBCEngine:
         ej = 0.5 * jnp.sum(theta["wcoul"] * jnp.abs(rho) ** 2)
         exc = self._exc(dm, theta)
         e = e1 + ej + exc + theta["enuc"]
-        if self.hyb != 0.0:
-            k = self._k(dm, theta)
-            ek = jnp.real(jnp.einsum("k,...kij,...kji->",
-                                     wk.astype(dm.dtype), dm, k))
+        if self.has_exx:
+            k, k_lrs = self._k_all(dm, theta)
             fac = 0.5 if self.polarized else 0.25
-            e = e - fac * self.hyb * ek
+
+            def tr_k(kk):
+                return jnp.real(jnp.einsum("k,...kij,...kji->",
+                                           wk.astype(dm.dtype), dm, kk))
+
+            if self.hyb != 0.0:
+                e = e - fac * self.hyb * tr_k(k)
+            for (c, _), klr in zip(self.exx_lr, k_lrs):
+                e = e - fac * c * tr_k(klr)
         return e
 
     def diis_err(self, fock, dm, theta):
@@ -460,23 +512,32 @@ def band_energies(qc, kpts_band):
 
     hj = T + vne + J
     f = (hj[None] + vxc) if eng.polarized else (hj + vxc)
-    if eng.hyb != 0.0:
+    if eng.has_exx:
         exxb = build_kpbc_exx_theta(meta, params, sol.params, lat, Gv,
-                                    sol.kpts, precision, kpts_bra=kb)
+                                    sol.kpts, precision, kpts_bra=kb,
+                                    lr_omegas=[om for _, om in eng.exx_lr])
         exxb["madelung"] = None
-        K = eng._k(dm, {"exx": exxb, "wk": theta["wk"], "ovlp": S})
+        K_full, K_lrs = eng._k_all(dm, {"exx": exxb, "wk": theta["wk"],
+                                        "ovlp": S})
+        # effective band exchange: hyb*K_full + sum_i c_i (K_full - K_sr_i)
+        K = eng.hyb * K_full + sum(
+            c * kl for (c, _), kl in zip(eng.exx_lr, K_lrs))
         mad = theta.get("exx", {}).get("madelung")
         if mad is not None:
+            # the Madelung exxdiv correction belongs to the FULL kernel of
+            # every term (LR = full - SR inherits it): total coefficient
+            # hyb + sum c_i, applied at band points that lie ON the mesh
+            ctot = eng.hyb + sum(c for c, _ in eng.exx_lr)
             mesh = np.asarray(sol.kpts)
             for b in range(len(kb)):
                 hits = np.where(
                     np.all(np.abs(mesh - kb[b]) < 1e-9, axis=1))[0]
                 if len(hits):
                     mk = int(hits[0])
-                    corr = mad * jnp.einsum(
+                    corr = ctot * mad * jnp.einsum(
                         "ij,...jl,lm->...im", S[b], dm[..., mk, :, :], S[b])
                     K = K.at[..., b, :, :].add(corr)
-        f = f - (eng.hyb if eng.polarized else 0.5 * eng.hyb) * K
+        f = f - (1.0 if eng.polarized else 0.5) * K
 
     ws, vs = jnp.linalg.eigh(S)
     keep = ws > 1e-9 * ws[:, -1:]

@@ -77,3 +77,40 @@ def test_adjoint_polarized_df():
     g_adj = qc.energy_grad(p)
     assert _maxdiff(g_ref["basis"]["atompos"],
                     g_adj["basis"]["atompos"]) < 1e-9
+
+
+def test_hvp_matches_autodiff_ks_dense():
+    """Split-module Hessian-vector product (energy_hvp, forward-over-
+    reverse through the implicit fixed point) == jvp-of-grad of the
+    monolithic energy_fn, for a position direction and a field direction
+    (the two directions properties at scale need: vibrations and
+    polarizability/IR)."""
+    from dqc_tpu.scf.adjoint import energy_hvp, _zeros_tangent
+    qc = dqc_tpu.KS(dqc_tpu.Mol(DESC, basis="sto-3g", grid=1), xc="pbe",
+                    opts=TIGHT)
+    qc.run()
+    p = qc._all_params()          # with fields: efield tangents flow
+    qc.energy_grad(p)             # primes the adjoint state at p
+
+    def hvp_ref(v):
+        return jax.jvp(jax.grad(qc.energy_fn), (p,), (v,))[1]
+
+    # position direction
+    v = _zeros_tangent(p)
+    vpos = np.zeros(np.asarray(p["basis"]["atompos"]).shape)
+    vpos[0, 2] = 1.0
+    v["basis"]["atompos"] = jax.numpy.asarray(vpos)
+    hv_ref = hvp_ref(v)
+    hv_adj = energy_hvp(qc, v, p)
+    assert _maxdiff(hv_ref["basis"]["atompos"],
+                    hv_adj["basis"]["atompos"]) < 1e-8
+    assert _maxdiff(hv_ref["efield"], hv_adj["efield"]) < 1e-8
+
+    # field direction: gives a polarizability column + dmu/dpos row
+    v2 = _zeros_tangent(p)
+    v2["efield"] = jax.numpy.asarray(np.array([0.0, 0.0, 1.0]))
+    hv2_ref = hvp_ref(v2)
+    hv2_adj = energy_hvp(qc, v2, p)
+    assert _maxdiff(hv2_ref["efield"], hv2_adj["efield"]) < 1e-8
+    assert _maxdiff(hv2_ref["basis"]["atompos"],
+                    hv2_adj["basis"]["atompos"]) < 1e-8

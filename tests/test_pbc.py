@@ -576,3 +576,51 @@ def test_pbc_hse_class_screened_hybrid():
     d_pbc = (float(dqc_tpu.KS(mk(L), xc=xc_hse).run().energy())
              - float(dqc_tpu.KS(mk(L), xc=base).run().energy()))
     assert abs(d_pbc - d_mol) < 3e-3, (d_pbc, d_mol)
+
+
+def test_kpoint_rsh_gamma_consistency():
+    """k-point RSH exact exchange (VERDICT r3 item 8, k-side): the
+    shifted-vector SR weight stacks at a single k=0 reproduce the
+    dedicated gamma-point AFT RSH path (coulomb_gweights_sr), for an
+    HSE-class screened hybrid."""
+    import dqc_tpu
+    from dqc_tpu.scf.qccalc import _kpbc_ks
+    a = 3.0
+    xc = "0.25*sr_hf(0.6) + gga_x_pbe + gga_c_pbe"
+    sol_g = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", grid="sg2")
+    e_gamma = float(dqc_tpu.KS(sol_g, xc=xc).run().energy())
+    sol_k = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", grid="sg2",
+                kpts=np.zeros((1, 3)))
+    e_k = float(_kpbc_ks(sol_k, xc).run().energy())
+    assert abs(e_k - e_gamma) < 1e-8, (e_k, e_gamma)
+
+
+def test_kpoint_rsh_supercell_invariant():
+    """Bloch-theorem oracle for k-point LONG-RANGE exchange: 2-point
+    k-mesh LC functional on the primitive He cell == half the gamma
+    energy of the doubled supercell (the latter runs the independent
+    gamma AFT RSH path)."""
+    import dqc_tpu
+    a = 3.0
+    xc = "1*lr_hf(0.5) + lda_c_pw"
+    kpts = np.array([[0.0, 0.0, 0.0], [np.pi / a, 0.0, 0.0]])
+    s1 = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", kpts=kpts)
+    e_k = float(dqc_tpu.KS(s1, xc=xc).run().energy())
+    s2 = Sol(f"He 0 0 0; He {a} 0 0", np.diag([2 * a, a, a]),
+             basis="sto-3g")
+    e_sc = float(dqc_tpu.KS(s2, xc=xc).run().energy())
+    assert abs(e_k - e_sc / 2) < 1e-6, (e_k, e_sc / 2)
+
+
+def test_kpoint_rsh_omega_limits():
+    """omega -> inf: LR == full exact exchange (k-mesh HF oracle); the
+    SR weights vanish uniformly on every shifted q+G grid."""
+    import dqc_tpu
+    a = 3.0
+    kpts = np.array([[0.0, 0.0, 0.0], [np.pi / a, 0.0, 0.0]])
+    s = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", kpts=kpts)
+    e_lr = float(dqc_tpu.KS(s, xc="1*lr_hf(1e4) + lda_c_pw")
+                 .run().energy())
+    s2 = Sol("He 0 0 0", np.eye(3) * a, basis="sto-3g", kpts=kpts)
+    e_hf = float(dqc_tpu.KS(s2, xc="1*hf + lda_c_pw").run().energy())
+    assert abs(e_lr - e_hf) < 1e-6, (e_lr, e_hf)

@@ -136,3 +136,35 @@ def test_eoctupole_hellmann_feynman(h2o_qc):
     zs = np.asarray(mol.atomzs)
     o_ref += np.einsum("a,ad,ae,af->def", zs, pos, pos, pos)
     np.testing.assert_allclose(o_ad, o_ref, atol=1e-6)
+
+
+def test_adjoint_properties_match_monolithic():
+    """Properties-at-scale path (DQC_TPU_PROPS_ADJOINT=1: split-module
+    HVP columns, scf/adjoint.energy_hvp) == the monolithic jax.hessian
+    route, for the position Hessian, polarizability and IR intensities
+    (VERDICT r3 item 5). H2/3-21G keeps it to 6+3 HVPs."""
+    import os
+    from dqc_tpu.scf.fixed_point import SCFOptions
+    from dqc_tpu.api.properties import polarizability
+
+    def fresh():
+        mol = dqc_tpu.Mol("H 0 0 0; H 0 0 1.4", basis="3-21G")
+        return dqc_tpu.HF(mol, opts=SCFOptions(tol=1e-12)).run()
+
+    qc_m = fresh()
+    h_m = np.asarray(hessian_pos(qc_m))
+    a_m = np.asarray(polarizability(qc_m))
+    _, ir_m = ir_spectrum(qc_m)
+
+    os.environ["DQC_TPU_PROPS_ADJOINT"] = "1"
+    try:
+        qc_a = fresh()
+        h_a = np.asarray(hessian_pos(qc_a))
+        a_a = np.asarray(polarizability(qc_a))
+        _, ir_a = ir_spectrum(qc_a)
+    finally:
+        del os.environ["DQC_TPU_PROPS_ADJOINT"]
+    np.testing.assert_allclose(h_a, h_m, atol=1e-7)
+    np.testing.assert_allclose(a_a, a_m, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ir_a), np.asarray(ir_m),
+                               atol=1e-6)

