@@ -139,6 +139,10 @@ class HFEngine:
             return aft_k(theta, dm) - aft_k_weighted(
                 theta["pbcft"], dm, theta["pbcft"][f"wsr{i}"])
         from .df import df_k
+        if f"df_sr{i}" in theta:
+            # PBC GDF: LR = full-kernel fit (Madelung-corrected) minus
+            # the short-range-metric fit (scf/pbc.build_pbc_core_theta)
+            return df_k(theta["df"], dm) - df_k(theta[f"df_sr{i}"], dm)
         return df_k(theta[f"df_lr{i}"], dm)
 
     # fock = fock_from_parts(dm, *jk_parts(dm)) — split so the host-driven

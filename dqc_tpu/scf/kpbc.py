@@ -124,6 +124,38 @@ def build_kpbc_exx_theta(meta, params, params_np, lattice, Gv, kpts,
     return out
 
 
+def build_kpbc_gdf(Qre, Qim, w, meta_aux, params_aux, Gv):
+    """k-point periodic Gaussian density fitting (Coulomb path) — the
+    k-resolved counterpart of the reference's DFPBC (df/dfpbc.py:39-160,
+    which serves J only; its PBC exchange is NotImplemented).
+
+    T^k_{ij,P} = sum_G w_G Q^k_ij(G) chi_P(G)^*     (complex, nk x nao^2 x naux)
+    v_{PQ}     = sum_G w_G chi_P(G) chi_Q(G)^*      (real, gamma aux metric)
+
+    Per-iteration J then costs two (nk nao^2, naux) matvecs instead of a
+    (nk, ng, nao, nao) G-space contraction:
+      b_P  = sum_k w_k sum_ij dm^k_ij conj(T^k_{ji,P})
+      c    = v^-1 Re[b]                 (the total density is real)
+      J^k  = sum_P c_P conj(T^k_{ji,P})^T  (see KPBCEngine._j)."""
+    from ..ops.pbcft import eval_ao_ft
+    cre, cim = eval_ao_ft(meta_aux, params_aux, jnp.asarray(Gv))
+    # T = sum_G w Q(G) conj(chi(G)):  re = Qre*cre + Qim*cim,
+    #                                 im = Qim*cre - Qre*cim
+    Tre = (jnp.einsum("kgij,g,gp->kijp", Qre, w, cre)
+           + jnp.einsum("kgij,g,gp->kijp", Qim, w, cim))
+    Tim = (jnp.einsum("kgij,g,gp->kijp", Qim, w, cre)
+           - jnp.einsum("kgij,g,gp->kijp", Qre, w, cim))
+    v = (jnp.einsum("gp,g,gq->pq", cre, w, cre)
+         + jnp.einsum("gp,g,gq->pq", cim, w, cim))
+    v = 0.5 * (v + v.T)
+    from .eigh import safe_eigh
+    ew, ev = safe_eigh(v)
+    keep = ew > 1e-10 * jnp.max(ew)
+    inv_w = jnp.where(keep, 1.0 / jnp.where(keep, ew, 1.0), 0.0)
+    v_inv = (ev * inv_w[None, :]) @ ev.T
+    return {"Tre": Tre, "Tim": Tim, "v_inv": v_inv}
+
+
 def build_kpbc_grid(sol, params, kpts, family: int):
     """Bloch AO tables (+Becke dvol) on the cell-wrapped grid at kpts."""
     meta = sol.meta
@@ -164,7 +196,7 @@ def build_kpbc_grid(sol, params, kpts, family: int):
 
 def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
                      family: int = 1, with_exx: bool = False,
-                     madelung=None, lr_omegas=()):
+                     madelung=None, lr_omegas=(), gdf_aux=None):
     """params -> theta for the k-point PBC SCF (complex tensors)."""
     meta = sol.meta
     lat = sol.lattice
@@ -210,6 +242,9 @@ def build_kpbc_theta(sol, params, atomzs, *, precision: float = 1e-9,
         "wk": jnp.full((len(kpts),), 1.0 / len(kpts)),
         "grid": grid,
     }
+    if gdf_aux is not None:
+        theta["kdf"] = build_kpbc_gdf(Qre, Qim, w, gdf_aux[0], gdf_aux[1],
+                                      Gv)
     if with_exx:
         theta["exx"] = build_kpbc_exx_theta(meta, params, sol.params, lat,
                                             Gv, kpts, precision,
@@ -254,6 +289,16 @@ class KPBCEngine:
                           dmt, Q)
 
     def _j(self, dmt, theta):
+        if "kdf" in theta:
+            # k-point GDF (build_kpbc_gdf): two aux-dim matvecs per
+            # iteration instead of a (nk, ng, nao, nao) G contraction
+            kdf = theta["kdf"]
+            T = _c(kdf["Tre"], kdf["Tim"])
+            b = jnp.einsum("k,kij,kjip->p", theta["wk"].astype(dmt.dtype),
+                           dmt, T)
+            c = kdf["v_inv"] @ jnp.real(b)
+            j = jnp.einsum("kijp,p->kij", T, c.astype(dmt.dtype))
+            return 0.5 * (j + jnp.conj(jnp.swapaxes(j, -1, -2)))
         rho = self._rho_g(dmt, theta)
         Qn = _c(theta["Qre"], theta["Qim"])[:, theta["negG"]]
         return jnp.einsum("g,kgij->kij", theta["wcoul"] * rho, Qn)
@@ -410,8 +455,14 @@ class KPBCEngine:
         wk = theta["wk"]
         e1 = jnp.real(jnp.einsum("k,kij,kji->", wk.astype(dmt.dtype),
                                  theta["hcore"], dmt))
-        rho = self._rho_g(dmt, theta)
-        ej = 0.5 * jnp.sum(theta["wcoul"] * jnp.abs(rho) ** 2)
+        if "kdf" in theta:
+            # fitted Coulomb energy, consistent with the fitted Fock
+            jmat = self._j(dmt, theta)
+            ej = 0.5 * jnp.real(jnp.einsum("k,kij,kji->",
+                                           wk.astype(dmt.dtype), dmt, jmat))
+        else:
+            rho = self._rho_g(dmt, theta)
+            ej = 0.5 * jnp.sum(theta["wcoul"] * jnp.abs(rho) ** 2)
         exc = self._exc(dm, theta)
         e = e1 + ej + exc + theta["enuc"]
         if self.has_exx:

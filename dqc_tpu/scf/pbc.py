@@ -121,23 +121,26 @@ def build_pbc_core_theta(sol, params, atomzs, *, precision: float = 1e-9,
         "keep": keep,
         "enuc": ewald_energy(atomzs, params["atompos"], lat),
     }
-    if gdf_aux is None:
-        theta["pbcft"] = {"Fre": Fre, "Fim": Fim, "wcoul": w,
-                          "madelung": madelung}
-    else:
-        if lr_omegas:
-            raise NotImplementedError(
-                "range-separated exchange with PBC density fitting is not "
-                "supported yet; use the AFT path (no densityfit())")
-        theta["df"] = build_pbc_gdf(Fre, Fim, w, gdf_aux[0], gdf_aux[1],
-                                    Gv, madelung=madelung, ovlp=ovlp)
     # RSH: short-range (erfc) kernel G-weights per distinct omega — the
     # SR kernel FT is finite at G=0 (pi/omega^2/V), so these carry no
     # Madelung term; engine._k_lr assembles LR = full - SR
     from ..ops.pbcft import coulomb_gweights_sr
-    for i, om in enumerate(lr_omegas):
-        theta["pbcft"][f"wsr{i}"] = coulomb_gweights_sr(
-            Gv, lat.volume(), om)
+    if gdf_aux is None:
+        theta["pbcft"] = {"Fre": Fre, "Fim": Fim, "wcoul": w,
+                          "madelung": madelung}
+        for i, om in enumerate(lr_omegas):
+            theta["pbcft"][f"wsr{i}"] = coulomb_gweights_sr(
+                Gv, lat.volume(), om)
+    else:
+        theta["df"] = build_pbc_gdf(Fre, Fim, w, gdf_aux[0], gdf_aux[1],
+                                    Gv, madelung=madelung, ovlp=ovlp)
+        # GDF RSH: a second fit per omega in the SHORT-RANGE metric (the
+        # same build with the finite-at-G=0 erfc weights and no Madelung
+        # term); engine._k_lr then assembles LR = K_df_full - K_df_sr
+        for i, om in enumerate(lr_omegas):
+            theta[f"df_sr{i}"] = build_pbc_gdf(
+                Fre, Fim, coulomb_gweights_sr(Gv, lat.volume(), om),
+                gdf_aux[0], gdf_aux[1], Gv)
     return theta
 
 

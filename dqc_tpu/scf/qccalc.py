@@ -1391,12 +1391,14 @@ def _kpbc_ks(sol, xc, *, restricted=None, opts=None):
     # by the k-mesh (PySCF madelung(cell, kpts) convention)
     mad = (madelung_constant(kmesh_supercell(sol.lattice, sol.kpts))
            if (with_exx and opts.exxdiv == "ewald") else None)
+    gdfset = _df_setup(sol)
 
     def build_theta(params):
         th = build_kpbc_theta(sol, params["basis"], params["atomzs"],
                               family=xc.family, with_exx=with_exx,
                               madelung=mad,
-                              lr_omegas=[om for _, om in engine.exx_lr])
+                              lr_omegas=[om for _, om in engine.exx_lr],
+                              gdf_aux=_pbc_gdf_aux(gdfset, params))
         th["occ"] = occ
         th["xc_params"] = params.get("xc_params")
         return th
