@@ -75,7 +75,20 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
 
     step_and_err(f) -> (next Fock from the plain SC map, DIIS error vector,
     typically X^T [F,D,S] X). f0: initial state (any pytree).
-    Returns (f_star, n_iter, final_err_norm).
+    Returns (f_in, f_raw, n_iter, best_err) for the BEST iterate seen:
+
+      f_in  — the loop input that produced it. PAIR-CONSISTENT: the state
+              derived from f_in (dm in SCF) is the one whose residual is
+              best_err, so re-measuring from f_in reproduces the report.
+              Use for final answers (energies, gradients).
+      f_raw — the SC-map output step(f_in). One extra map application:
+              NOT pair-consistent (the measured residual belongs to f_in's
+              state), but the map application CONTRACTS handoff noise
+              (f32 floors, purification-vs-eigh frontier differences) —
+              measured: chaining the f64 phase off the f32 phase's f_in
+              doubled its iteration count (7 -> 15) vs f_raw, and a host
+              LAPACK verifier read 1.1e-8 from f_raw vs 2.2e-8 from f_in
+              after a purify device phase. Use for PHASE CHAINING.
     """
     import jax.flatten_util
     f0_flat, unravel = jax.flatten_util.ravel_pytree(f0)
@@ -93,18 +106,13 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
     r_dtype = jnp.finfo(f0_flat.dtype).dtype
 
     def body(state):
-        it, ff, fhist, ehist, nfill, _, best_ff, best_err, best_it = state
+        (it, ff, fhist, ehist, nfill, _, best_in, best_raw, best_err,
+         best_it) = state
         f_raw, e_new = step_flat(ff)
         # errnorm belongs to the PAIR (f_raw, state(ff)): step_and_err
         # derives the density from the INPUT ff and measures the new
-        # Fock's commutator against it. The pair-consistent solution is
-        # therefore ff itself — dm_from_fock(ff) reproduces the density
-        # whose residual is best_err. Returning f_raw instead hands the
-        # caller a Fock whose OWN density is one more application of the
-        # (non-contractive) SC map away: the residual gets amplified by
-        # the map Jacobian (measured ~47x at benzene/def2-SVP — the
-        # device phase exits at 5.7e-9 and the host verifier read 2.7e-7,
-        # re-burning ~4 LAPACK polish iterations, BENCH_r03).
+        # Fock's commutator against it (see the docstring for the
+        # f_in/f_raw split the best tracking keeps).
         f_new = ((1.0 - opts.damping) * f_raw + opts.damping * ff
                  if opts.damping > 0.0 else f_raw)
         errnorm = jnp.max(jnp.abs(e_new))
@@ -155,22 +163,22 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         ff_next = jnp.where(use_diis, f_diis, f_new)
         # best-iterate tracking: a diverging extrapolation (f32 floors,
         # ill-conditioned B near convergence) must not discard the best
-        # state seen; non-finite iterates never become "best". Stores the
-        # INPUT ff (pair-consistent, see above), not the output f_raw.
+        # state seen; non-finite iterates never become "best"
         improved = jnp.isfinite(errnorm) & (errnorm < best_err)
-        best_ff = jnp.where(improved, ff, best_ff)
+        best_in = jnp.where(improved, ff, best_in)
+        best_raw = jnp.where(improved, f_raw, best_raw)
         best_err = jnp.where(improved, errnorm, best_err)
         best_it = jnp.where(improved, it, best_it)
         # a non-finite iterate poisons the history; freeze on the best
         bad = ~jnp.isfinite(errnorm)
-        ff_next = jnp.where(bad, best_ff, ff_next)
+        ff_next = jnp.where(bad, best_in, ff_next)
         errnorm = jnp.where(bad, jnp.asarray(jnp.inf, errnorm.dtype),
                             errnorm)
         return (it + 1, ff_next, fhist, ehist, nfill, errnorm,
-                best_ff, best_err, best_it)
+                best_in, best_raw, best_err, best_it)
 
     def cond(state):
-        it, _, _, _, _, errnorm, _, best_err, best_it = state
+        it, _, _, _, _, errnorm, _, _, best_err, best_it = state
         go = (it < opts.maxiter) & (best_err > opts.tol)
         if opts.diis_patience > 0:
             go = go & (it - best_it <= opts.diis_patience)
@@ -179,10 +187,10 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
     fhist0 = jnp.zeros((H, n), dtype=f0_flat.dtype)
     ehist0 = jnp.zeros((H, ne), dtype=e_dtype)
     state0 = (0, f0_flat, fhist0, ehist0, 0, jnp.asarray(1e9, r_dtype),
-              f0_flat, jnp.asarray(jnp.inf, r_dtype), 0)
+              f0_flat, f0_flat, jnp.asarray(jnp.inf, r_dtype), 0)
     out = jax.lax.while_loop(cond, body, state0)
-    it, best_ff, best_err = out[0], out[6], out[7]
-    return unravel(best_ff), it, best_err
+    it, best_in, best_raw, best_err = out[0], out[6], out[7], out[8]
+    return unravel(best_in), unravel(best_raw), it, best_err
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(0, 1))

@@ -85,7 +85,7 @@ def purify_orth(fp, nocc, iters: int = 72):
     return jax.lax.fori_loop(0, iters, body, d0)
 
 
-def fock_to_dm_purify(fock, X, keep, occ, iters: int = 72):
+def fock_to_dm_purify(fock, X, keep, occ, iters: int = None):
     """AO-basis density matrix from the AO Fock via canonical purification
     — drop-in for the eigh route in engine.orthogonal_fock_to_dm for
     integer aufbau occupations.
@@ -97,6 +97,13 @@ def fock_to_dm_purify(fock, X, keep, occ, iters: int = 72):
     by the gap RELATIVE to the spectral width, so a 1e7 pin would squash
     the relative gap to ~1e-8 and stall the iteration; a pin at ~1.5x the
     Gershgorin width keeps them unoccupied at full speed)."""
+    if iters is None:
+        # 72 gave a measured 9.6e-11 device-DIIS floor on benzene/def2-SVP
+        # but the in-graph DIIS crawled below ~1e-8 (9 extra iterations
+        # for a factor 2, bench r4c) — consistent with residual frontier
+        # noise; the default buys margin at ~0.2 ms per DIIS iteration.
+        import os
+        iters = int(os.environ.get("DQC_TPU_PURIFY_ITERS", "96"))
     fp = jnp.einsum("im,...ij,jn->...mn", X, fock, X)
     diag0 = jnp.diagonal(fp, axis1=-2, axis2=-1)
     off0 = jnp.sum(jnp.abs(fp), axis=-1) - jnp.abs(diag0)

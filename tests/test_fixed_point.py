@@ -1,14 +1,16 @@
 """diis_solve semantics (scf/fixed_point.py).
 
 The handoff contract matters for performance: the device-batched SCF
-phases (qccalc._device_phase) exit and hand their state to a host
-verifier whose first measured error must MATCH the reported best error.
+phases (qccalc._device_phase) exit and hand their state onward.
 diis_solve's step_and_err measures the residual of the PAIR
-(step(ff), state-derived-from-ff), so the pair-consistent state to
-return is the INPUT ff — returning the output would re-apply the
-non-contractive SC map and amplify the handoff residual by the map
-Jacobian (measured ~47x at benzene/def2-SVP scale, BENCH_r03:
-device exit 5.7e-9 read back as 2.7e-7 by the host verifier).
+(step(ff), state-derived-from-ff), so it returns BOTH ends of the best
+pair: the input f_in (pair-consistent — re-measuring from it reproduces
+the reported best_err; use for final answers) and the raw map output
+f_raw = step(f_in) (one extra map application contracts handoff noise;
+use for phase chaining). Returning only the output amplified the
+verifier's reading by the map Jacobian (measured ~47x, BENCH_r03);
+returning only the input doubled the next phase's iteration count
+(f32 noise handed through, bench r4b).
 """
 import numpy as np
 import jax.numpy as jnp
@@ -29,7 +31,8 @@ def _linear_map(n, rho, seed=0):
 
 
 def test_returned_state_is_pair_consistent():
-    """err reported == err a caller re-measures from the returned state."""
+    """err reported == err a caller re-measures from the returned input,
+    and the returned raw output is exactly step(input)."""
     n = 8
     A, b, x_star = _linear_map(n, rho=2.0)
 
@@ -40,16 +43,18 @@ def test_returned_state_is_pair_consistent():
     opts = SCFOptions(tol=1e-10, maxiter=200, mixed=False,
                       diis_size=10, diis_patience=0)
     x0 = jnp.zeros(n)
-    x_ret, it, best_err = diis_solve(step_and_err, x0, opts)
+    x_in, x_raw, it, best_err = diis_solve(step_and_err, x0, opts)
     # caller-side re-measurement: exactly what qccalc's host verifier does
-    _, e = step_and_err(x_ret)
+    step_out, e = step_and_err(x_in)
     remeasured = float(np.abs(np.asarray(e)).max())
     assert np.isfinite(remeasured)
     assert remeasured <= float(best_err) * (1 + 1e-9), (
         f"handoff amplification: reported {float(best_err):.3e}, "
         f"re-measured {remeasured:.3e}")
+    # raw output is the map applied to the input (chaining contract)
+    assert np.abs(np.asarray(step_out) - np.asarray(x_raw)).max() < 1e-14
     # and it actually solved the system
-    assert np.abs(np.asarray(x_ret) - x_star).max() < 1e-8
+    assert np.abs(np.asarray(x_in) - x_star).max() < 1e-8
 
 
 def test_patience_bail_returns_best_input():
@@ -66,9 +71,10 @@ def test_patience_bail_returns_best_input():
 
     opts = SCFOptions(tol=1e-14, maxiter=300, mixed=False,
                       diis_size=8, diis_patience=6)
-    x_ret, it, best_err = diis_solve(step_and_err, jnp.zeros(n), opts)
+    x_in, x_raw, it, best_err = diis_solve(step_and_err, jnp.zeros(n),
+                                           opts)
     assert int(it) < 300, "patience exit did not trigger"
-    _, e = step_and_err(x_ret)
+    _, e = step_and_err(x_in)
     remeasured = float(np.abs(np.asarray(e)).max())
     # the floor is ~1e-7 * |noise| * amplification; the contract is only
     # that re-measurement reproduces the report (no extra map application)
