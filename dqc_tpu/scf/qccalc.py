@@ -535,23 +535,40 @@ class SCF_QCCalc:
         # streaming mode skips the f32 warmup: its per-iteration time is
         # dispatch/vxc-bound (measured equal to the f64-RI iteration at
         # def2-SVP benzene scale), so the RI-f64 phase below subsumes it
+        defect = None   # (theta32, acc64, dm64, f0, err0, j0, k0)
         if opts.mixed and _mixed_ok(eng, theta):
             theta32 = jax.jit(_theta32)(theta)
             acc64 = {k_: theta[k_] for k_ in ("X", "keep", "occ", "ovlp")}
             f = diis_phase(theta32, start_fock(theta32, np.float32),
                            opts.mixed_tol, opts.mixed_maxiter, "f32",
                            acc=acc64, device_only=True)
-            theta32 = None   # free the f32 theta copies' HBM before the
-            #                  f64 phase allocates its working set
+            # OFF by default: measured on the live chip, the corrected
+            # f32 map's DIIS stalls at the f32 ROUGHNESS floor (~2e-5 —
+            # rounding staircase in the J/K+vxc evaluation, same floor as
+            # the plain warm phase), so the outer loop cannot contract
+            # below ~1e-5 and the classic f64 phase ends up running
+            # anyway (bench r4e). Kept as an opt-in experiment; a smooth
+            # cheap map (f64 RI + reduced-grid f64 vxc) would be the
+            # viable variant.
+            want_dc = (os.environ.get("DQC_TPU_DEFECT_CORR", "0") == "1"
+                       and "jk_facs" not in theta)
             if np.all(np.isfinite(f)):
                 dm64 = jnp.asarray(host_dm(f), dtype=jnp.float64)
                 if "jk_facs" not in theta:
-                    f0 = np.asarray(jit_step(dm64, theta)[0])
+                    f0_t, e0_t, j0_t, k0_t = jit_step(dm64, theta)
+                    f0 = np.asarray(f0_t)
+                    if want_dc:
+                        defect = (theta32, acc64, dm64, f0_t,
+                                  float(np.abs(np.asarray(e0_t)).max()),
+                                  j0_t, k0_t)
                 else:
                     j, k = jit_jk(dm64, theta)
                     f0 = np.asarray(jit_rest(dm64, j, k, theta)[0])
             else:
                 f0 = np.full(1, np.nan)
+            if defect is None:
+                theta32 = None   # free the f32 theta copies' HBM before
+                #                  the f64 phase allocates its working set
             if not np.all(np.isfinite(f0)):
                 # the f32 warm phase (or the f64 cross-over build) went
                 # non-finite — e.g. theta values past the f32 range, or a
@@ -560,6 +577,7 @@ class SCF_QCCalc:
                 from ..utils.logger import log
                 log("f32 warm phase non-finite; restarting f64 from scratch")
                 f0 = start_fock(theta, np.float64)
+                defect = None
         else:
             f0 = start_fock(theta, np.float64)
         if "jk_facs" in theta and "df" in theta:
@@ -576,6 +594,13 @@ class SCF_QCCalc:
             # the energy evaluation
             self._last_jk = (dm, j, k)
             return dm
+        if defect is not None:
+            out = self._defect_corr_solve(theta, defect, host_dm, jit_step)
+            defect = None
+            if out is not None:
+                dm, j, k = out
+                self._last_jk = (dm, j, k)
+                return dm
         fstar = diis_phase(theta, f0, opts.tol, opts.maxiter, "f64")
         cj = getattr(self, "_conv_jk", None)
         if cj is not None:
@@ -644,8 +669,73 @@ class SCF_QCCalc:
                            f"dual{outer}", patience=4, corr=(dj, dk))
         return best[1], best[2], best[3]
 
+    def _defect_corr_solve(self, theta, defect, host_dm, jit_step):
+        """Defect-corrected f64 solve for the blocked/eri_k path.
+
+        The emulated-f64 exact step costs ~0.4 s at nao=114 (two ~1.3 GB
+        eri matvecs + the f64 grid-XC chain, measured tools/tpu_lab3);
+        the SAME step with f32 J/K + f32 vxc costs ~10-20 ms. Iterate the
+        CHEAP map plus a FROZEN Fock correction
+            F_inner(D) = F_cheap(D) + [F_exact(D0) - F_cheap(D0)]
+        (f64 purification + f64 DIIS metric throughout), and run the
+        exact f64 step only at outer points. The inner fixed point
+        differs from the true one by the defect map's derivative — a
+        rounding-level (~1e-7) Jacobian difference — times |D - D0|, so
+        each outer cycle contracts the true residual by ~1e-5-ish:
+        1-2 outers from the f32 warm state reach tol=1e-8. The exact
+        outer step doubles as the LAPACK-grade verifier (its commutator
+        uses the host-exact X), so success needs NO host-DIIS polish and
+        serves (dm, J, K) straight to the energy evaluation.
+
+        defect: (theta32, acc64, dm64, f0_t, err0, j0, k0) from the warm
+        crossover. Returns (dm, j, k) on success, None to fall back to
+        the classic f64 device phase."""
+        import time as _time
+        from ..utils.logger import log
+        opts = self.opts
+        theta32, acc64, dm64, f0_t, err0, j0, k0 = defect
+        eng = self.engine
+        fc_fn = getattr(self, "_cheap_fock_fn", None)
+        if fc_fn is None:
+            @jax.jit
+            def fc_fn(dm, th32):
+                dm32 = dm.astype(jnp.float32)
+                j, k = eng.jk_parts(dm32, th32)
+                return eng.fock_from_parts(dm32, j, k, th32).astype(
+                    jnp.float64)
+            self._cheap_fock_fn = fc_fn
+        tol = opts.tol
+        pt = getattr(self, "_phase_times", None)
+        for outer in range(3):
+            log(f"defect-corr outer={outer} exact-err={err0:.3e}")
+            if not np.isfinite(err0):
+                return None
+            if err0 < tol:
+                return dm64, j0, k0
+            t0 = _time.perf_counter()
+            dfc = f0_t - fc_fn(dm64, theta32)
+            out = self._device_phase(
+                theta32, np.asarray(f0_t, dtype=np.float64),
+                max(0.3 * tol, 1e-9), 40, f"dc{outer}", acc=acc64,
+                fcorr=dfc)
+            if out is None:
+                return None
+            dm64 = jnp.asarray(host_dm(out), dtype=jnp.float64)
+            f0_t, e0_t, j0, k0 = jit_step(dm64, theta)
+            err0 = float(np.abs(np.asarray(e0_t)).max())
+            if pt is not None:
+                pt["host:dc"] = round(pt.get("host:dc", 0.0)
+                                      + _time.perf_counter() - t0
+                                      - pt.get(f"dev:dc{outer}", 0.0), 3)
+        log(f"defect-corr final exact-err={err0:.3e}")
+        if np.isfinite(err0) and err0 < tol:
+            return dm64, j0, k0
+        log("defect correction did not reach tol; classic f64 phase "
+            "takes over")
+        return None
+
     def _device_phase(self, th, f0, tol, maxiter, tag, corr=None,
-                      acc=None):
+                      acc=None, fcorr=None):
         """Run one DIIS phase as a single on-device while_loop dispatch.
 
         Returns the phase's final Fock as a host float64 array, or None if
@@ -695,8 +785,9 @@ class SCF_QCCalc:
             tol_dev = max(0.5 * tol, 2e-10)
         else:
             tol_dev = max(tol, 1e-9)
+        has_fc = fcorr is not None
         key = (float(tol_dev), int(maxiter), has_corr, has_dk, mixed,
-               purify)
+               purify, has_fc)
         fn = cache.get(key)
         if fn is None:
             opts = self.opts._replace(tol=tol_dev, maxiter=maxiter,
@@ -720,15 +811,24 @@ class SCF_QCCalc:
                 f_new = eng.fock_from_parts(dm, j, k, thd)
                 return f_new, eng.diis_err(f_new, dm, thd)
 
-            def stepper_mixed(f, thd, accd):
+            def stepper_mixed(f, thd, accd, fc=None):
                 dm = dm_fn(f, accd)            # f64 purify/eigh, f64 X
                 dm32 = dm.astype(jnp.float32)
                 j, k = eng.jk_parts(dm32, thd)          # f32 MXU
                 f_new = eng.fock_from_parts(dm32, j, k, thd).astype(
                     jnp.float64)
+                if fc is not None:
+                    # frozen defect correction (_defect_corr_solve):
+                    # F_cheap + [F_exact - F_cheap](D0), all f64
+                    f_new = f_new + fc
                 return f_new, eng.diis_err(f_new, dm, accd)   # f64 metric
 
-            if mixed:
+            if mixed and has_fc:
+                def run(ff, thd, accd, fc):
+                    return diis_solve(
+                        lambda f: stepper_mixed(f, thd, accd, fc), ff,
+                        opts)
+            elif mixed:
                 def run(ff, thd, accd):
                     return diis_solve(
                         lambda f: stepper_mixed(f, thd, accd), ff, opts)
@@ -753,7 +853,8 @@ class SCF_QCCalc:
         try:
             f0d = jnp.asarray(np.asarray(f0, dtype=np.float64)) if mixed \
                 else jnp.asarray(f0)
-            args = ((f0d, th, acc) if mixed
+            args = ((f0d, th, acc, fcorr) if (mixed and has_fc)
+                    else (f0d, th, acc) if mixed
                     else (f0d, th, corr[0], corr[1]) if has_dk
                     else (f0d, th, corr[0]) if has_corr
                     else (f0d, th))

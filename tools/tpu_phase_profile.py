@@ -32,14 +32,20 @@ import dqc_tpu  # noqa: E402
 from __graft_entry__ import _benzene_mol  # noqa: E402
 
 
+def _force(out):
+    """block_until_ready can be a no-op through the axon tunnel; fetching
+    one element of every output buffer forces real completion."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
+    return out
+
+
 def timeit(fn, *args, reps=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = _force(fn(*args))
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = _force(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best, out
 
