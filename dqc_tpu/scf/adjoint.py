@@ -155,6 +155,8 @@ def energy_grad(qc, params=None):
     if "eri_k" in theta:
         theta.pop("eri_k")
     theta.pop("eri_j", None)   # derived from eri_k; same reasoning
+    theta.pop("eri_dsh", None)  # forward-only pallas planes (no AD rules)
+    theta.pop("eri_dsl", None)
     if "jkb0" not in theta:
         # _maybe_expand_j evicts the quartet blocks to host once both
         # dense layouts are trusted (HBM hygiene); with eri_k/eri_j

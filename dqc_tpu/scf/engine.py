@@ -149,6 +149,16 @@ class HFEngine:
     # DIIS can compile the quartet-stream J/K and the rest as separate,
     # much smaller XLA modules (scf/qccalc._host_solve).
     def jk_parts(self, dm, theta):
+        if "eri_dsh" in theta and dm.dtype == jnp.float64:
+            # fused double-single pallas kernel: one pass over the hi/lo
+            # f32 planes of the J-layout ERI computes BOTH matrices
+            # (~20x the two XLA emulated-f64 GEMVs; ops/pallas_jk.py)
+            from ..ops.pallas_jk import ds_jk
+            if self.polarized:
+                ju, ku = ds_jk(theta["eri_dsh"], theta["eri_dsl"], dm[0])
+                jd, kd = ds_jk(theta["eri_dsh"], theta["eri_dsl"], dm[1])
+                return ju + jd, jnp.stack([ku, kd])
+            return ds_jk(theta["eri_dsh"], theta["eri_dsl"], dm)
         if "jkb0" in theta and "eri_j" not in theta:
             from .jk import jk_from_blocks, theta_blocks
             bmeta, jkm = self.jk_info

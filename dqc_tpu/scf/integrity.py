@@ -33,6 +33,7 @@ probe/arbitrate/evict state machine is directly unit-testable
 """
 from __future__ import annotations
 
+import os
 import time as _time
 import warnings as _warnings
 from typing import Optional, Tuple
@@ -200,3 +201,65 @@ def maybe_expand_j(theta, bmeta, jkm, nao: int, *, bytes_limit: int,
         f"(probe rel {rel:.1e}; {len(jkb)} block tensors evicted "
         f"to host)")
     return theta, (jkb or None)
+
+
+def maybe_build_ds(theta, nao: int, fn_cache: dict,
+                   bytes_limit: Optional[int] = None) -> None:
+    """Build + probe the double-single (hi/lo f32) planes of the
+    J-layout ERI for the fused Pallas J+K kernel (ops/pallas_jk.py) —
+    the f64-phase hot-loop path (~20x the XLA emulated-f64 GEMVs on the
+    axon v5e, tools/pallas_jk_lab.py).
+
+    Probe discipline matches the other derived layouts: a brand-new
+    Mosaic kernel on a backend that has already demonstrably
+    miscompiled one fused-f64 op class (scf/jk.expand_k_tensor) runs a
+    one-time arbitration against the trusted f64 einsum contraction of
+    eri_j before the planes enter theta. Mutates theta in place."""
+    from ..ops import pallas_jk
+    if not pallas_jk.enabled() or "eri_j" not in theta \
+            or "eri_dsh" in theta:
+        return
+    if bytes_limit is None:
+        bytes_limit = int(os.environ.get(
+            "DQC_TPU_PALLAS_JK_BYTES", 4 * 1024 ** 3))
+    A, B, L = pallas_jk.plane_shapes(nao)
+    if 2 * nao * A * B * L * 4 > bytes_limit:
+        return
+    _t0 = _time.perf_counter()
+    fn = fn_cache.get("ds_planes")
+    if fn is None:
+        fn = jax.jit(pallas_jk.ds_planes)
+        fn_cache["ds_planes"] = fn
+    try:
+        hi, lo = fn(theta["eri_j"])
+        rng = np.random.default_rng(3)
+        probe_np = rng.standard_normal((nao, nao))
+        probe = jnp.asarray(probe_np + probe_np.T)
+        jk_fn = fn_cache.get("ds_jk")
+        if jk_fn is None:
+            jk_fn = jax.jit(pallas_jk.ds_jk)
+            fn_cache["ds_jk"] = jk_fn
+        j_ds, k_ds = jk_fn(hi, lo, probe)
+        j_ref = jnp.einsum("ijkl,kl->ij", theta["eri_j"], probe)
+        k_ref = jnp.einsum("ikjl,kl->ij", theta["eri_j"], probe)
+        rel_j = float(jnp.abs(j_ds - j_ref).max()
+                      / jnp.maximum(jnp.abs(j_ref).max(), 1e-300))
+        rel_k = float(jnp.abs(k_ds - k_ref).max()
+                      / jnp.maximum(jnp.abs(k_ref).max(), 1e-300))
+    except Exception as ex:  # noqa: BLE001 — Mosaic/compile faults
+        _warnings.warn(
+            f"DS J/K plane build failed on this backend "
+            f"({type(ex).__name__}: {str(ex)[:120]}); keeping the "
+            f"einsum J/K path")
+        return
+    if max(rel_j, rel_k) > 1e-10:
+        _warnings.warn(
+            f"DS pallas J/K kernel disagrees with the f64 einsum "
+            f"contraction (rel J {rel_j:.2e}, K {rel_k:.2e}); keeping "
+            f"the einsum path")
+        return
+    theta["eri_dsh"] = hi
+    theta["eri_dsl"] = lo
+    log(f"theta[eri_ds*] planes built in "
+        f"{_time.perf_counter() - _t0:.1f}s (probe rel J {rel_j:.1e} "
+        f"K {rel_k:.1e})")

@@ -55,6 +55,9 @@ def _theta32(theta):
         if getattr(x, "dtype", None) == jnp.float64 else x, theta)
     if "jk_facs" in th and "df" in th:
         th = {k: v for k, v in th.items() if k != "jk_facs"}
+    # the DS planes serve only the f64 pallas J/K path (ops/pallas_jk):
+    # drop them from the warm-phase theta copy
+    th = {k: v for k, v in th.items() if k not in ("eri_dsh", "eri_dsl")}
     return th
 
 
@@ -268,6 +271,13 @@ class SCF_QCCalc:
         shape = ((2, nao, nao) if eng.polarized else (nao, nao))
         # per-phase wall-clock breakdown, read by bench.py's `extra`
         self._phase_times = {}
+        # per-phase ACHIEVED residual (host LAPACK metric where host
+        # iterations ran; device metric for device-only phases) — the
+        # cross-backend gradient demos gate on this: two backends' forces
+        # agree only as well as their achieved fixed points do
+        # (tools/tpu_force_demo; STATUS r4 "residual-matched solves")
+        self._phase_err = {}
+        self._achieved_err = None
 
         # Recompute the orthogonalizer on the host in LAPACK f64. A theta
         # served from an on-disk cache may carry X built by XLA's TPU
@@ -427,6 +437,12 @@ class SCF_QCCalc:
                     return jit_rest(d, j, k, th)
             iter_fn = iter_fn or iterate
             f = f0
+
+            def rec(e):
+                pe = getattr(self, "_phase_err", None)
+                if pe is not None:
+                    pe[f"host:{tag}"] = float(e)
+                self._achieved_err = float(e)
             # Device-batched bulk: run the WHOLE phase as one in-graph DIIS
             # while_loop dispatch (scf/fixed_point.diis_solve — the same
             # solver small systems use), then let the host loop below verify
@@ -447,6 +463,9 @@ class SCF_QCCalc:
                     # stall there means "hand over to the next phase", not
                     # "keep burning 0.8 s LAPACK iterations"
                     patience = min(patience, 4)
+                    de = getattr(self, "_dev_phase_err", None)
+                    if de is not None:
+                        self._achieved_err = de
                     if device_only:
                         # warm phases hand straight to the next (f64)
                         # phase: polishing an f32-floored state with
@@ -519,6 +538,7 @@ class SCF_QCCalc:
                 if errnorm < tol:
                     # pair-consistent return: dm(f_in) is the density
                     # whose residual just passed tol
+                    rec(errnorm)
                     ic = getattr(self, "_it_cache", None)
                     if ic is not None and ic[0] is f_dev:
                         self._conv_jk = (ic[1], ic[2], ic[3])
@@ -529,7 +549,9 @@ class SCF_QCCalc:
                         or it - best_it >= patience):
                     log(f"host-DIIS[{tag}] bail at it={it} "
                         f"(best err={best_err:.3e} at it={best_it})")
+                    rec(best_err)
                     return best_f
+            rec(best_err)
             return best_f
 
         # streaming mode skips the f32 warmup: its per-iteration time is
@@ -873,6 +895,10 @@ class SCF_QCCalc:
         pt = getattr(self, "_phase_times", None)
         if pt is not None:
             pt[f"dev:{tag}"] = round(pt.get(f"dev:{tag}", 0.0) + dt, 3)
+        pe = getattr(self, "_phase_err", None)
+        if pe is not None:
+            pe[f"dev:{tag}"] = err
+        self._dev_phase_err = err   # read by diis_phase's device_only exit
         if not np.all(np.isfinite(f)):
             log(f"device-DIIS[{tag}] non-finite result; host loop restarts")
             return None
@@ -1095,6 +1121,9 @@ class SCF_QCCalc:
             bytes_limit=EXPAND_J_BYTES_LIMIT, fn_cache=fn_cache)
         if jkb_host is not None:
             self._jkb_host = jkb_host
+        # fused pallas DS J/K planes for the f64 hot loop (probed;
+        # ops/pallas_jk.py) — derived from the trusted eri_j
+        integrity.maybe_build_ds(theta, self.mol.meta.nao, fn_cache)
         return theta
 
     def _all_params(self, with_fields: bool = True):

@@ -44,7 +44,12 @@ def force(basis):
     g = qc.energy_grad()
     t_grad = time.time() - t0
     f = -np.asarray(g["basis"]["atompos"], dtype=np.float64)
-    return f, float(qc.energy()), t_run, t_grad
+    info = {
+        "achieved_err": float(getattr(qc, "_achieved_err", np.nan) or np.nan),
+        "phase_err": dict(getattr(qc, "_phase_err", {}) or {}),
+        "dm": np.asarray(qc._dm, dtype=np.float64),
+    }
+    return f, float(qc.energy()), t_run, t_grad, info
 
 
 def main():
@@ -52,18 +57,27 @@ def main():
     basis = sys.argv[2] if len(sys.argv) > 2 else "def2-svp"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         f".force_cpu_{basis}.npz")
-    f, e, t_run, t_grad = force(basis)
+    f, e, t_run, t_grad, info = force(basis)
     print(f"[force_demo] backend={jax.default_backend()} E={e:.10f} "
           f"run={t_run:.1f}s grad={t_grad:.1f}s |F|max={np.abs(f).max():.3e}",
           flush=True)
+    print(f"[force_demo] achieved residual={info['achieved_err']:.3e} "
+          f"phases={info['phase_err']}", flush=True)
     if mode == "--save":
-        np.savez(path, force=f, energy=e)
+        np.savez(path, force=f, energy=e, dm=info["dm"],
+                 achieved_err=info["achieved_err"])
         print(f"[force_demo] CPU oracle saved: {path}")
         return
     ref = np.load(path)
     df = np.abs(f - ref["force"]).max()
     de = abs(e - float(ref["energy"]))
     print(f"[force_demo] vs CPU oracle: max|dF|={df:.3e}  |dE|={de:.3e}")
+    if "dm" in ref.files:
+        ddm = np.abs(info["dm"] - ref["dm"]).max()
+        err_cpu = float(ref["achieved_err"]) if "achieved_err" in ref.files \
+            else np.nan
+        print(f"[force_demo] max|d dm|={ddm:.3e}  "
+              f"residuals: cpu={err_cpu:.3e} tpu={info['achieved_err']:.3e}")
     if df > 1e-8:
         print("[force_demo] FAIL: force mismatch above 1e-8")
         sys.exit(1)
