@@ -65,8 +65,10 @@ def plane_shapes(n: int):
 
 
 def ds_planes(eri):
-    """Split a dense J-layout ERI (n,n,n,n) f64 into zero-padded
-    (hi, lo) f32 planes of shape (n, A, B, L). Jit-able."""
+    """Split a dense (n,n,n,n) f64 ERI layout into zero-padded (hi, lo)
+    f32 planes of shape (n, A, B, L). Jit-able. Layout-agnostic: feed it
+    eri_k (exchange layout) and ds_jk's two contractions become (K, J)
+    — see ds_jk_kplanes."""
     n = eri.shape[0]
     A, B, L = plane_shapes(n)
     t = jnp.zeros((n, A, B, L), jnp.float64)
@@ -110,7 +112,14 @@ def ds_jk_reference(t_hi, t_lo, dm):
 
 
 def ds_jk(t_hi, t_lo, dm, *, interpret: bool = False):
-    """(J, K) f64 from DS planes of the J-layout ERI; one fused pass.
+    """Two fused contractions of a 4-index tensor T with dm in one pass:
+
+      out_trail[i,j] = sum_kl T[i,j,k,l] dm[k,l]   (trailing axes)
+      out_mid[i,b]   = sum_al T[i,a,b,l] dm[a,l]   (axes 1 and 3)
+
+    For T = J-layout (ij|kl): (out_trail, out_mid) = (J, K).
+    For T = exchange layout eri_k (= J-layout transposed (0,2,1,3)):
+    (out_trail, out_mid) = (K, J) — use ds_jk_kplanes.
 
     t_hi/t_lo: (n, A, B, L) f32 zero-padded planes (ds_planes);
     dm: (n, n) f64. Forward-only (see module docstring)."""
@@ -241,3 +250,15 @@ def ds_jk(t_hi, t_lo, dm, *, interpret: bool = False):
     j = (jh.astype(jnp.float64) + jl.astype(jnp.float64)).sum(axis=-1)
     k = (kh.astype(jnp.float64) + kl.astype(jnp.float64)).sum(axis=-1)
     return j[:, :n], k[:, :n]
+
+
+def ds_jk_kplanes(t_hi, t_lo, dm, *, interpret: bool = False):
+    """(J, K) from DS planes of the EXCHANGE-layout tensor eri_k — the
+    layout production theta actually carries (the Coulomb twin eri_j is
+    default-off, qccalc.EXPAND_J_BYTES_LIMIT). With
+    eri_k[i,j,k,l] = E[i,k,j,l]:
+      trailing contraction = K  (engine: einsum("ijkl,kl->ij", eri_k, dm))
+      middle contraction   = J  (= einsum("ikjl,kl->ij", eri_k, dm))
+    """
+    k, j = ds_jk(t_hi, t_lo, dm, interpret=interpret)
+    return j, k

@@ -153,12 +153,14 @@ class HFEngine:
             # fused double-single pallas kernel: one pass over the hi/lo
             # f32 planes of the J-layout ERI computes BOTH matrices
             # (~20x the two XLA emulated-f64 GEMVs; ops/pallas_jk.py)
-            from ..ops.pallas_jk import ds_jk
+            from ..ops.pallas_jk import ds_jk_kplanes
             if self.polarized:
-                ju, ku = ds_jk(theta["eri_dsh"], theta["eri_dsl"], dm[0])
-                jd, kd = ds_jk(theta["eri_dsh"], theta["eri_dsl"], dm[1])
+                ju, ku = ds_jk_kplanes(theta["eri_dsh"],
+                                       theta["eri_dsl"], dm[0])
+                jd, kd = ds_jk_kplanes(theta["eri_dsh"],
+                                       theta["eri_dsl"], dm[1])
                 return ju + jd, jnp.stack([ku, kd])
-            return ds_jk(theta["eri_dsh"], theta["eri_dsl"], dm)
+            return ds_jk_kplanes(theta["eri_dsh"], theta["eri_dsl"], dm)
         if "jkb0" in theta and "eri_j" not in theta:
             from .jk import jk_from_blocks, theta_blocks
             bmeta, jkm = self.jk_info
@@ -230,6 +232,20 @@ class KSEngine(HFEngine):
 
     def jk_parts(self, dm, theta):
         want_k = self.xc.exx_fraction != 0.0
+        if "eri_dsh" in theta and dm.dtype == jnp.float64:
+            # fused double-single pallas kernel (ops/pallas_jk.py): J and
+            # K from ONE pass over the hi/lo planes of eri_k (~20x the
+            # XLA f64 GEMVs; K is free, so compute it even for pure
+            # functionals' J-only builds)
+            from ..ops.pallas_jk import ds_jk_kplanes
+            if self.polarized:
+                ju, ku = ds_jk_kplanes(theta["eri_dsh"],
+                                       theta["eri_dsl"], dm[0])
+                jd, kd = ds_jk_kplanes(theta["eri_dsh"],
+                                       theta["eri_dsl"], dm[1])
+                return ju + jd, (jnp.stack([ku, kd]) if want_k else None)
+            j, k = ds_jk_kplanes(theta["eri_dsh"], theta["eri_dsl"], dm)
+            return j, (k if want_k else None)
         if "jkb0" in theta:
             from .jk import jk_from_blocks, theta_blocks
             bmeta, jkm = self.jk_info

@@ -206,7 +206,7 @@ def maybe_expand_j(theta, bmeta, jkm, nao: int, *, bytes_limit: int,
 def maybe_build_ds(theta, nao: int, fn_cache: dict,
                    bytes_limit: Optional[int] = None) -> None:
     """Build + probe the double-single (hi/lo f32) planes of the
-    J-layout ERI for the fused Pallas J+K kernel (ops/pallas_jk.py) —
+    exchange-layout ERI for the fused Pallas J+K kernel (pallas_jk) —
     the f64-phase hot-loop path (~20x the XLA emulated-f64 GEMVs on the
     axon v5e, tools/pallas_jk_lab.py).
 
@@ -216,7 +216,7 @@ def maybe_build_ds(theta, nao: int, fn_cache: dict,
     one-time arbitration against the trusted f64 einsum contraction of
     eri_j before the planes enter theta. Mutates theta in place."""
     from ..ops import pallas_jk
-    if not pallas_jk.enabled() or "eri_j" not in theta \
+    if not pallas_jk.enabled() or "eri_k" not in theta \
             or "eri_dsh" in theta:
         return
     if bytes_limit is None:
@@ -231,17 +231,17 @@ def maybe_build_ds(theta, nao: int, fn_cache: dict,
         fn = jax.jit(pallas_jk.ds_planes)
         fn_cache["ds_planes"] = fn
     try:
-        hi, lo = fn(theta["eri_j"])
+        hi, lo = fn(theta["eri_k"])
         rng = np.random.default_rng(3)
         probe_np = rng.standard_normal((nao, nao))
         probe = jnp.asarray(probe_np + probe_np.T)
         jk_fn = fn_cache.get("ds_jk")
         if jk_fn is None:
-            jk_fn = jax.jit(pallas_jk.ds_jk)
+            jk_fn = jax.jit(pallas_jk.ds_jk_kplanes)
             fn_cache["ds_jk"] = jk_fn
         j_ds, k_ds = jk_fn(hi, lo, probe)
-        j_ref = jnp.einsum("ijkl,kl->ij", theta["eri_j"], probe)
-        k_ref = jnp.einsum("ikjl,kl->ij", theta["eri_j"], probe)
+        j_ref = jnp.einsum("ikjl,kl->ij", theta["eri_k"], probe)
+        k_ref = jnp.einsum("ijkl,kl->ij", theta["eri_k"], probe)
         rel_j = float(jnp.abs(j_ds - j_ref).max()
                       / jnp.maximum(jnp.abs(j_ref).max(), 1e-300))
         rel_k = float(jnp.abs(k_ds - k_ref).max()

@@ -76,3 +76,28 @@ def test_kernel_interpret_mode(n):
     # f64 einsum (scf/integrity.maybe_build_ds, rel gate 1e-10).
     assert np.abs(np.asarray(j) - j_ref).max() / scale < 1e-5
     assert np.abs(np.asarray(k) - k_ref).max() / scale < 1e-5
+
+
+def test_kplanes_wrapper_identity():
+    """ds_jk_kplanes on exchange-layout planes reproduces the engine's
+    J/K einsum contractions of eri_k (the production wiring)."""
+    n = 8
+    e_j = _eri_like(n, seed=5)          # J-layout (ij|kl)
+    eri_k = e_j.transpose(0, 2, 1, 3)   # exchange layout (qccalc)
+    rng = np.random.default_rng(6)
+    dm = rng.standard_normal((n, n))
+    dm = dm + dm.T
+    hi, lo = pallas_jk.ds_planes(jnp.asarray(eri_k))
+    # reference path (pure jnp) with outputs swapped as in the wrapper
+    k, j = pallas_jk.ds_jk_reference(hi, lo, jnp.asarray(dm))
+    j_ref = np.einsum("ikjl,kl->ij", eri_k, dm)   # engine J of eri_k
+    k_ref = np.einsum("ijkl,kl->ij", eri_k, dm)   # engine K of eri_k
+    np.testing.assert_allclose(np.asarray(j), j_ref, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(k), k_ref, atol=1e-11)
+    # and J/K equal the J-layout contractions of the original tensor
+    np.testing.assert_allclose(j_ref,
+                               np.einsum("ijkl,kl->ij", e_j, dm),
+                               atol=1e-11)
+    np.testing.assert_allclose(k_ref,
+                               np.einsum("ikjl,kl->ij", e_j, dm),
+                               atol=1e-11)
