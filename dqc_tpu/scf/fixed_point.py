@@ -75,7 +75,10 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
 
     step_and_err(f) -> (next Fock from the plain SC map, DIIS error vector,
     typically X^T [F,D,S] X). f0: initial state (any pytree).
-    Returns (f_in, f_raw, n_iter, best_err) for the BEST iterate seen:
+    Returns (f_in, f_raw, n_iter, best_err, err_hist) for the BEST
+    iterate seen (err_hist: (maxiter,) per-iteration residuals, NaN
+    beyond the exit iteration — the in-graph trajectory, loggable by
+    _device_phase at DQC_TPU_VERBOSE>=2):
 
       f_in  — the loop input that produced it. PAIR-CONSISTENT: the state
               derived from f_in (dm in SCF) is the one whose residual is
@@ -107,7 +110,7 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
 
     def body(state):
         (it, ff, fhist, ehist, nfill, _, best_in, best_raw, best_err,
-         best_it) = state
+         best_it, errh) = state
         f_raw, e_new = step_flat(ff)
         # errnorm belongs to the PAIR (f_raw, state(ff)): step_and_err
         # derives the density from the INPUT ff and measures the new
@@ -116,6 +119,7 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         f_new = ((1.0 - opts.damping) * f_raw + opts.damping * ff
                  if opts.damping > 0.0 else f_raw)
         errnorm = jnp.max(jnp.abs(e_new))
+        errh = errh.at[it].set(errnorm.astype(errh.dtype))
         # push into ring buffers
         slot = it % H
         fhist = fhist.at[slot].set(f_new)
@@ -175,10 +179,10 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
         errnorm = jnp.where(bad, jnp.asarray(jnp.inf, errnorm.dtype),
                             errnorm)
         return (it + 1, ff_next, fhist, ehist, nfill, errnorm,
-                best_in, best_raw, best_err, best_it)
+                best_in, best_raw, best_err, best_it, errh)
 
     def cond(state):
-        it, _, _, _, _, errnorm, _, _, best_err, best_it = state
+        it, _, _, _, _, errnorm, _, _, best_err, best_it, _ = state
         go = (it < opts.maxiter) & (best_err > opts.tol)
         if opts.diis_patience > 0:
             go = go & (it - best_it <= opts.diis_patience)
@@ -187,10 +191,11 @@ def diis_solve(step_and_err: Callable, f0, opts: SCFOptions):
     fhist0 = jnp.zeros((H, n), dtype=f0_flat.dtype)
     ehist0 = jnp.zeros((H, ne), dtype=e_dtype)
     state0 = (0, f0_flat, fhist0, ehist0, 0, jnp.asarray(1e9, r_dtype),
-              f0_flat, f0_flat, jnp.asarray(jnp.inf, r_dtype), 0)
+              f0_flat, f0_flat, jnp.asarray(jnp.inf, r_dtype), 0,
+              jnp.full((opts.maxiter,), jnp.nan, r_dtype))
     out = jax.lax.while_loop(cond, body, state0)
     it, best_in, best_raw, best_err = out[0], out[6], out[7], out[8]
-    return unravel(best_in), unravel(best_raw), it, best_err
+    return unravel(best_in), unravel(best_raw), it, best_err, out[10]
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(0, 1))

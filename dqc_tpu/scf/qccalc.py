@@ -104,14 +104,14 @@ class SCF_QCCalc:
                                    maxiter=opts.mixed_maxiter)
             # chaining handoff: the RAW output (one extra SC-map
             # application contracts the f32 noise; see diis_solve)
-            _, f32_raw, _, _ = diis_solve(
+            _, f32_raw, _, _, _ = diis_solve(
                 lambda f: step_and_err(f, theta32), f0_32, opts32)
             dm_start = eng.dm_from_fock(f32_raw, theta32).astype(jnp.float64)
 
         f0 = eng.fock(dm_start, theta)
         # final answer: the pair-consistent INPUT Fock — dm_from_fock of
         # it reproduces the density whose residual is best_err
-        f_star, _, _, best_err = diis_solve(
+        f_star, _, _, best_err, _ = diis_solve(
             lambda f: step_and_err(f, theta), f0, opts)
         # a diis_patience stall-exit returns the best iterate with no
         # other signal, and an implicit-diff gradient's error scales with
@@ -880,7 +880,7 @@ class SCF_QCCalc:
                     else (f0d, th, corr[0], corr[1]) if has_dk
                     else (f0d, th, corr[0]) if has_corr
                     else (f0d, th))
-            f_in, f_raw, it, err = fn(*args)
+            f_in, f_raw, it, err, errh = fn(*args)
             # hand the RAW map output onward: the extra SC-map
             # application contracts handoff noise (f32 floors,
             # purify-vs-eigh frontier differences) — see diis_solve
@@ -892,6 +892,11 @@ class SCF_QCCalc:
         dt = _time.perf_counter() - t0
         log(f"device-DIIS[{tag}] it={it} err={err:.3e} dt={dt:.3f}s"
             f"{' [purify]' if purify else ''}{' [mixed]' if mixed else ''}")
+        if os.environ.get("DQC_TPU_DIIS_TRACE") == "1":
+            eh = np.asarray(errh)
+            eh = eh[np.isfinite(eh)]
+            log(f"device-DIIS[{tag}] trajectory: "
+                + " ".join(f"{e:.2e}" for e in eh))
         pt = getattr(self, "_phase_times", None)
         if pt is not None:
             pt[f"dev:{tag}"] = round(pt.get(f"dev:{tag}", 0.0) + dt, 3)

@@ -43,7 +43,7 @@ def test_returned_state_is_pair_consistent():
     opts = SCFOptions(tol=1e-10, maxiter=200, mixed=False,
                       diis_size=10, diis_patience=0)
     x0 = jnp.zeros(n)
-    x_in, x_raw, it, best_err = diis_solve(step_and_err, x0, opts)
+    x_in, x_raw, it, best_err, _ = diis_solve(step_and_err, x0, opts)
     # caller-side re-measurement: exactly what qccalc's host verifier does
     step_out, e = step_and_err(x_in)
     remeasured = float(np.abs(np.asarray(e)).max())
@@ -71,7 +71,7 @@ def test_patience_bail_returns_best_input():
 
     opts = SCFOptions(tol=1e-14, maxiter=300, mixed=False,
                       diis_size=8, diis_patience=6)
-    x_in, x_raw, it, best_err = diis_solve(step_and_err, jnp.zeros(n),
+    x_in, x_raw, it, best_err, _ = diis_solve(step_and_err, jnp.zeros(n),
                                            opts)
     assert int(it) < 300, "patience exit did not trigger"
     _, e = step_and_err(x_in)
