@@ -158,7 +158,10 @@ def ds_jk(t_hi, t_lo, dm, *, interpret: bool = False):
         pj = V * dhv[None]
         ej = ((v1 * d1v[None] - pj) + v1 * d2v[None] + v2 * d1v[None]) \
             + v2 * d2v[None]
-        ej = ej + V * dlv[None] + Vl * dhv[None]
+        # keep the lo*lo term: dropping it leaves a ~2^-48-relative
+        # sawtooth (non-smooth in dm) that floors the in-graph DIIS at
+        # ~1e-8 (measured trajectory, DQC_TPU_DIIS_TRACE)
+        ej = ej + (V * dlv[None] + Vl * dhv[None] + Vl * dlv[None])
         s = pj[:, 0:8, :]
         cc = ej[:, 0:8, :]
         for t in range(1, B // 8):
@@ -187,7 +190,7 @@ def ds_jk(t_hi, t_lo, dm, *, interpret: bool = False):
         dal = dl_ref[pl.ds(j0, ab_blk), :].reshape(ab_blk, 1, L)
         pk = V * da
         ek = ((v1 * da1 - pk) + v1 * da2 + v2 * da1) + v2 * da2
-        ek = ek + V * dal + Vl * da
+        ek = ek + (V * dal + Vl * da + Vl * dal)
         sk = acc[0]
         ck = acc[1]
         for a in range(ab_blk):

@@ -101,9 +101,12 @@ def fock_to_dm_purify(fock, X, keep, occ, iters: int = None):
         # 72 gave a measured 9.6e-11 device-DIIS floor on benzene/def2-SVP
         # but the in-graph DIIS crawled below ~1e-8 (9 extra iterations
         # for a factor 2, bench r4c) — consistent with residual frontier
-        # noise; the default buys margin at ~0.2 ms per DIIS iteration.
+        # noise; 96 still stalled the DS-kernel map's DIIS below 1e-7
+        # (15-it trajectory, r5 DQC_TPU_DIIS_TRACE); 160 restores a
+        # clean handoff (device exit 4.3e-9, host verify 4.1e-9 at it=0)
+        # at ~3 ms per DIIS iteration of extra matmuls.
         import os
-        iters = int(os.environ.get("DQC_TPU_PURIFY_ITERS", "96"))
+        iters = int(os.environ.get("DQC_TPU_PURIFY_ITERS", "160"))
     fp = jnp.einsum("im,...ij,jn->...mn", X, fock, X)
     diag0 = jnp.diagonal(fp, axis1=-2, axis2=-1)
     off0 = jnp.sum(jnp.abs(fp), axis=-1) - jnp.abs(diag0)
