@@ -188,7 +188,8 @@ def run_once(basis, cache_dir):
             dm = qc._host_solve(th)
             cached = getattr(qc, "_last_jk", None)
             if cached is not None and cached[0] is dm:
-                return float(efn(dm, cached[1], cached[2], th))
+                exc = cached[3] if len(cached) > 3 else None
+                return float(efn(dm, cached[1], cached[2], th, exc))
             return float(efull(dm, th))
 
         solve_e(theta)

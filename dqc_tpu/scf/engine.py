@@ -192,10 +192,11 @@ class HFEngine:
     def step(self, dm, theta):
         return self.dm_from_fock(self.fock(dm, theta), theta)
 
-    def energy_from_parts(self, dm, j, k, theta):
+    def energy_from_parts(self, dm, j, k, theta, exc=None):
         """Total energy from precomputed J/K (host-driven path: J/K come
         from the per-combo jitted quartet stream, so the energy module
-        stays small)."""
+        stays small). `exc` is ignored for HF (KS uses it to skip the
+        grid pass when the converged iterate already computed it)."""
         dmt = self.dm_tot(dm)
         e1 = jnp.einsum("ij,ij->", theta["hcore"], dmt)
         ej = 0.5 * jnp.einsum("ij,ij->", j, dmt)
@@ -282,15 +283,18 @@ class KSEngine(HFEngine):
     def fock(self, dm, theta):
         return self.fock_from_parts(dm, *self.jk_parts(dm, theta), theta)
 
-    def energy_from_parts(self, dm, j, k, theta):
+    def energy_from_parts(self, dm, j, k, theta, exc=None):
         """Total energy from precomputed J/K (see HFEngine.energy_from_parts);
-        k is None for pure (exx-free) functionals."""
+        k is None for pure (exx-free) functionals. `exc`: precomputed XC
+        energy (the host loop's verify iteration computes it alongside
+        vxc — skips a full grid pass here)."""
         from ..xc.integrate import exc_energy
         dmt = self.dm_tot(dm)
         e1 = jnp.einsum("ij,ij->", theta["hcore"], dmt)
         ej = 0.5 * jnp.einsum("ij,ij->", j, dmt)
-        exc = exc_energy(self.xc, dm, theta["grid"], self.polarized,
-                         xcparams=theta.get("xc_params"))
+        if exc is None:
+            exc = exc_energy(self.xc, dm, theta["grid"], self.polarized,
+                             xcparams=theta.get("xc_params"))
         e = e1 + ej + exc + theta["enuc"]
         hyb = self.xc.exx_fraction
         if hyb != 0.0:
