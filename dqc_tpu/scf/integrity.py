@@ -263,3 +263,60 @@ def maybe_build_ds(theta, nao: int, fn_cache: dict,
     log(f"theta[eri_ds*] planes built in "
         f"{_time.perf_counter() - _t0:.1f}s (probe rel J {rel_j:.1e} "
         f"K {rel_k:.1e})")
+
+
+def maybe_build_ozaki(theta, fn_cache: dict) -> None:
+    """Cache bf16 Ozaki slices of the constant AO tables for the
+    grid-density GEMMs (ops/ozaki.py) — ~2.5x the XLA emulated-f64
+    (ng,nao)@(nao,nao) products on the axon v5e. Forward-only derived
+    data: run()-materialized theta only (adjoint pops it). Probed
+    against the f64 einsum before entering theta. Mutates theta."""
+    from ..ops import ozaki
+    grid = theta.get("grid")
+    if not ozaki.enabled() or not isinstance(grid, dict) \
+            or "ao" not in grid or "ozk" in grid:
+        return
+    ng, nao = grid["ao"].shape
+    # must match xc/integrate's unchunked-path condition (the chunked
+    # map cannot carry the slice pytree)
+    from ..xc.integrate import XC_CHUNK_ELEMS
+    if ng > max(65536, XC_CHUNK_ELEMS // max(nao, 1)):
+        return
+    w, S, U, _ = ozaki.params_for_k(nao)
+    _t0 = _time.perf_counter()
+    try:
+        key = f"ozk_slices_{w}_{S}"
+        fn = fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda a: ozaki.row_slices(a, w, S))
+            fn_cache[key] = fn
+        ozk = {"ao": fn(grid["ao"])}
+        ag = grid.get("ao_grad")
+        if ag is not None and ag.ndim == 3 and ag.shape[0] == 3:
+            for d in range(3):
+                ozk[f"ag{d}"] = fn(ag[d])
+        # probe: sliced matmul vs the f64 einsum on a random dm
+        rng = np.random.default_rng(11)
+        probe_np = rng.standard_normal((nao, nao))
+        probe = jnp.asarray(probe_np + probe_np.T)
+        dm_sl = ozaki.col_slices(probe, w, S)
+        b = ozaki.matmul_sliced(ozk["ao"][0], ozk["ao"][1],
+                                dm_sl[0], dm_sl[1], w, U)
+        b_ref = grid["ao"] @ probe
+        rel = float(jnp.abs(b - b_ref).max()
+                    / jnp.maximum(jnp.abs(b_ref).max(), 1e-300))
+    except Exception as ex:  # noqa: BLE001
+        _warnings.warn(
+            f"Ozaki slice build failed on this backend "
+            f"({type(ex).__name__}: {str(ex)[:120]}); keeping the "
+            f"einsum grid GEMMs")
+        return
+    if rel > 1e-10:
+        _warnings.warn(
+            f"Ozaki sliced GEMM disagrees with the f64 einsum "
+            f"(rel {rel:.2e}); keeping the einsum grid GEMMs")
+        return
+    theta["grid"] = dict(grid)
+    theta["grid"]["ozk"] = ozk
+    log(f"theta[grid.ozk] slices built in "
+        f"{_time.perf_counter() - _t0:.1f}s (probe rel {rel:.1e})")

@@ -55,9 +55,12 @@ def _theta32(theta):
         if getattr(x, "dtype", None) == jnp.float64 else x, theta)
     if "jk_facs" in th and "df" in th:
         th = {k: v for k, v in th.items() if k != "jk_facs"}
-    # the DS planes serve only the f64 pallas J/K path (ops/pallas_jk):
-    # drop them from the warm-phase theta copy
+    # the DS planes / Ozaki slices serve only the f64 hot loop
+    # (ops/pallas_jk, ops/ozaki): drop them from the warm-phase copy
     th = {k: v for k, v in th.items() if k not in ("eri_dsh", "eri_dsl")}
+    if isinstance(th.get("grid"), dict) and "ozk" in th["grid"]:
+        g = {k: v for k, v in th["grid"].items() if k != "ozk"}
+        th["grid"] = g
     return th
 
 
@@ -1197,8 +1200,10 @@ class SCF_QCCalc:
         if jkb_host is not None:
             self._jkb_host = jkb_host
         # fused pallas DS J/K planes for the f64 hot loop (probed;
-        # ops/pallas_jk.py) — derived from the trusted eri_j
+        # ops/pallas_jk.py) — derived from the trusted eri_k
         integrity.maybe_build_ds(theta, self.mol.meta.nao, fn_cache)
+        # Ozaki bf16 slices of the AO tables (grid-density GEMMs)
+        integrity.maybe_build_ozaki(theta, fn_cache)
         return theta
 
     def _all_params(self, with_fields: bool = True):

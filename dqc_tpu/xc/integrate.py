@@ -93,7 +93,27 @@ def density_from_tables(tabs, dm, family: int, polarized: bool):
     lead3 = ag is not None and ag.ndim == 3 and ag.shape[0] == 3 \
         and ag.shape[1] == ao.shape[0]
 
-    def grad_of(dmi):
+    # Ozaki MXU path (ops/ozaki.py): the (ng,nao)@(nao,nao) f64 GEMMs
+    # run ~2.5x faster from cached bf16 slices of the constant AO tables
+    # (built by integrity.maybe_build_ozaki into run()-materialized
+    # theta only — the slice extraction is non-differentiable, so traced
+    # gradient programs never see "ozk"; scf/adjoint.py pops it).
+    ozk = tabs.get("ozk")
+    use_ozk = (ozk is not None and getattr(dm, "dtype", None)
+               == jnp.float64)
+    if use_ozk:
+        from ..ops import ozaki as _oz
+        _w, _S, _U, _ = _oz.params_for_k(ao.shape[-1])
+
+    def _oz_mm(key, dm_sl):
+        sl, sc = ozk[key]
+        return _oz.matmul_sliced(sl, sc, dm_sl[0], dm_sl[1], _w, _U)
+
+    def grad_of(dmi, dm_sl=None):
+        if use_ozk:
+            gb = jnp.stack([_oz_mm(f"ag{d}", dm_sl) for d in range(3)])
+            gdot = 2.0 * jnp.einsum("dgi,gi->dg", gb, ao)
+            return gb, gdot
         if lead3:
             gb = jnp.einsum("dgi,ij->dgj", ag, dmi)
             gdot = 2.0 * jnp.einsum("dgi,gi->dg", gb, ao)
@@ -103,16 +123,22 @@ def density_from_tables(tabs, dm, family: int, polarized: bool):
         return gb, gdot
 
     def dens_of(dmi):
-        b = ao @ dmi                                     # (ng,nao)
+        dm_sl = None
+        if use_ozk:
+            dm_sl = _oz.col_slices(dmi, _w, _S)
+            b = _oz_mm("ao", dm_sl)
+        else:
+            b = ao @ dmi                                 # (ng,nao)
         rho = jnp.einsum("gi,gi->g", b, ao)
         out = {"rho": rho}
         if deriv >= 1:
-            out["grad"] = grad_of(dmi)[1]
+            out["grad"] = grad_of(dmi, dm_sl)[1]
         if deriv >= 2:
             lap_b = tabs["ao_lapl"] @ dmi
             t1 = jnp.einsum("gi,gi->g", lap_b, ao)
-            gb, _ = grad_of(dmi)
-            gg = (jnp.einsum("dgi,dgi->g", gb, ag) if lead3
+            gb, _ = grad_of(dmi, dm_sl)
+            gg = (jnp.einsum("dgi,dgi->g", gb, ag)
+                  if (lead3 or use_ozk)
                   else jnp.einsum("gdi,gdi->g", gb, ag))
             out["lapl"] = 2.0 * t1 + 2.0 * gg
             out["tau"] = 0.5 * gg
@@ -240,9 +266,12 @@ def exc_energy(xc, dm, grid_theta, polarized: bool, xcparams=None,
                 if k in grid_theta]
     import jax as _jax
     if ng <= chunk:
+        tabs0 = {k: grid_theta[k] for k in tab_keys}
+        if "ozk" in grid_theta:
+            tabs0["ozk"] = grid_theta["ozk"]   # unchunked path only
         # remat: the vxc backward recomputes the pointwise XC math instead
         # of storing every (ng, nao) intermediate
-        return _jax.checkpoint(body)({k: grid_theta[k] for k in tab_keys})
+        return _jax.checkpoint(body)(tabs0)
     # chunked path maps over the leading (grid) axis: the (3, ng, nao)
     # ao_grad layout must be chunk-axis-first here, so swap for the map and
     # back per block (rare: engages only beyond XC_CHUNK_ELEMS points)
@@ -324,8 +353,10 @@ def exc_vxc(xc, dm, grid_theta, polarized: bool, xcparams=None):
     tab_keys = [k for k in ("ao", "ao_grad", "ao_lapl", "dvol")
                 if k in grid_theta]
     if ng <= chunk:
-        exc, V = _exc_vxc_tabs(xc, dm, {k: grid_theta[k] for k in tab_keys},
-                               polarized, xcparams)
+        tabs0 = {k: grid_theta[k] for k in tab_keys}
+        if "ozk" in grid_theta:
+            tabs0["ozk"] = grid_theta["ozk"]   # unchunked path only
+        exc, V = _exc_vxc_tabs(xc, dm, tabs0, polarized, xcparams)
         return exc, 0.5 * (V + jnp.swapaxes(V, -1, -2))
     tabs_in = {}
     for k in tab_keys:
