@@ -157,10 +157,12 @@ def energy_grad(qc, params=None):
     theta.pop("eri_j", None)   # derived from eri_k; same reasoning
     theta.pop("eri_dsh", None)  # forward-only pallas planes (no AD rules)
     theta.pop("eri_dsl", None)
-    if isinstance(theta.get("grid"), dict) and "ozk" in theta["grid"]:
-        # forward-only Ozaki slices (round() has zero derivative)
+    if isinstance(theta.get("grid"), dict) \
+            and ("ozk" in theta["grid"] or "dsg" in theta["grid"]):
+        # forward-only derived grid data (Ozaki round() has zero
+        # derivative; the DS pallas planes have no AD rules)
         theta["grid"] = {k: v for k, v in theta["grid"].items()
-                         if k != "ozk"}
+                         if k not in ("ozk", "dsg")}
     if "jkb0" not in theta:
         # _maybe_expand_j evicts the quartet blocks to host once both
         # dense layouts are trusted (HBM hygiene); with eri_k/eri_j

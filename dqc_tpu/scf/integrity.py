@@ -265,6 +265,92 @@ def maybe_build_ds(theta, nao: int, fn_cache: dict,
         f"K {rel_k:.1e})")
 
 
+def maybe_build_dsg(theta, fn_cache: dict) -> None:
+    """Build + probe the transposed double-single AO-table planes for
+    the DS grid-XC Pallas kernels (ops/pallas_xc) — the f64-phase grid
+    chain (density GEMMs + vxc assembly) at VPU double-single speed
+    instead of XLA's emulated-f64 skinny GEMMs.
+
+    Probe discipline matches the other derived layouts: both kernels
+    are arbitrated on-device against the f64 einsum chain (density via
+    xc.integrate.density_from_tables, assembly via _vxc_assemble) on a
+    random symmetric dm / random pointwise potentials before the planes
+    enter theta. Forward-only derived data: run()-materialized theta
+    only (f32 copy drops it, adjoint pops it). Mutates theta."""
+    from ..ops import pallas_xc
+    grid = theta.get("grid")
+    if not pallas_xc.enabled() or not isinstance(grid, dict) \
+            or "ao" not in grid or "ao_grad" not in grid \
+            or grid.get("family") != 2 or "dsg" in grid:
+        return
+    ng, nao = grid["ao"].shape
+    if nao > 128:
+        return
+    from ..xc.integrate import XC_CHUNK_ELEMS
+    if ng > max(65536, XC_CHUNK_ELEMS // max(nao, 1)):
+        return
+    ag = grid["ao_grad"]
+    if not (ag.ndim == 3 and ag.shape[0] == 3):
+        return
+    _t0 = _time.perf_counter()
+    try:
+        fn = fn_cache.get("dsg_planes")
+        if fn is None:
+            fn = jax.jit(pallas_xc.grid_planes)
+            fn_cache["dsg_planes"] = fn
+        planes = fn(grid["ao"], ag)
+        rng = np.random.default_rng(17)
+        probe_np = rng.standard_normal((nao, nao))
+        probe = jnp.asarray(probe_np + probe_np.T)
+        dens_fn = fn_cache.get("dsg_dens")
+        if dens_fn is None:
+            dens_fn = jax.jit(
+                lambda pl_, dm: pallas_xc.ds_dens_gga(pl_, dm, ng))
+            fn_cache["dsg_dens"] = dens_fn
+        rho, gdot = dens_fn(planes, probe)
+        b = grid["ao"] @ probe
+        rho_ref = jnp.einsum("gi,gi->g", b, grid["ao"])
+        gb = jnp.einsum("dgi,ij->dgj", ag, probe)
+        gd_ref = 2.0 * jnp.einsum("dgi,gi->dg", gb, grid["ao"])
+        rel_r = float(jnp.abs(rho - rho_ref).max()
+                      / jnp.maximum(jnp.abs(rho_ref).max(), 1e-300))
+        rel_g = float(jnp.abs(gdot - gd_ref).max()
+                      / jnp.maximum(jnp.abs(gd_ref).max(), 1e-300))
+        vr = jnp.asarray(rng.standard_normal(ng))
+        vg = jnp.asarray(rng.standard_normal((3, ng)))
+        vxc_fn = fn_cache.get("dsg_vxc")
+        if vxc_fn is None:
+            def _vxc(pl_, vr_, vg_):
+                wth, wtl = pallas_xc.build_wt(pl_, vr_, vg_, ng)
+                return pallas_xc.ds_vxc_gga(pl_, wth, wtl, nao)
+            vxc_fn = jax.jit(_vxc)
+            fn_cache["dsg_vxc"] = vxc_fn
+        v = vxc_fn(planes, vr, vg)
+        from ..xc.integrate import _vxc_assemble
+        v_ref = _vxc_assemble(
+            {"rho": vr, "grad": vg},
+            {"ao": grid["ao"], "ao_grad": ag})
+        rel_v = float(jnp.abs(v - v_ref).max()
+                      / jnp.maximum(jnp.abs(v_ref).max(), 1e-300))
+    except Exception as ex:  # noqa: BLE001 — Mosaic/compile faults
+        _warnings.warn(
+            f"DS grid-XC plane build failed on this backend "
+            f"({type(ex).__name__}: {str(ex)[:120]}); keeping the "
+            f"einsum grid chain")
+        return
+    if max(rel_r, rel_g, rel_v) > 1e-10:
+        _warnings.warn(
+            f"DS grid-XC kernels disagree with the f64 einsum chain "
+            f"(rel rho {rel_r:.2e}, grad {rel_g:.2e}, vxc {rel_v:.2e});"
+            f" keeping the einsum grid chain")
+        return
+    theta["grid"] = dict(grid)
+    theta["grid"]["dsg"] = planes
+    log(f"theta[grid.dsg] planes built in "
+        f"{_time.perf_counter() - _t0:.1f}s (probe rel rho {rel_r:.1e}"
+        f" grad {rel_g:.1e} vxc {rel_v:.1e})")
+
+
 def maybe_build_ozaki(theta, fn_cache: dict) -> None:
     """Cache bf16 Ozaki slices of the constant AO tables for the
     grid-density GEMMs (ops/ozaki.py) — ~2.5x the XLA emulated-f64

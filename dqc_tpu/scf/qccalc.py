@@ -58,8 +58,10 @@ def _theta32(theta):
     # the DS planes / Ozaki slices serve only the f64 hot loop
     # (ops/pallas_jk, ops/ozaki): drop them from the warm-phase copy
     th = {k: v for k, v in th.items() if k not in ("eri_dsh", "eri_dsl")}
-    if isinstance(th.get("grid"), dict) and "ozk" in th["grid"]:
-        g = {k: v for k, v in th["grid"].items() if k != "ozk"}
+    if isinstance(th.get("grid"), dict) \
+            and ("ozk" in th["grid"] or "dsg" in th["grid"]):
+        g = {k: v for k, v in th["grid"].items()
+             if k not in ("ozk", "dsg")}
         th["grid"] = g
     return th
 
@@ -1202,6 +1204,8 @@ class SCF_QCCalc:
         # fused pallas DS J/K planes for the f64 hot loop (probed;
         # ops/pallas_jk.py) — derived from the trusted eri_k
         integrity.maybe_build_ds(theta, self.mol.meta.nao, fn_cache)
+        # DS pallas grid-XC planes (density + vxc assembly; probed)
+        integrity.maybe_build_dsg(theta, fn_cache)
         # Ozaki bf16 slices of the AO tables (grid-density GEMMs)
         integrity.maybe_build_ozaki(theta, fn_cache)
         return theta

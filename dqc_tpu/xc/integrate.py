@@ -262,6 +262,15 @@ def exc_energy(xc, dm, grid_theta, polarized: bool, xcparams=None,
         e = _edens_at(xc, dens, polarized, xcparams)
         return jnp.sum(e * tabs["dvol"])
 
+    if _dsg_usable(grid_theta, xc, dm, chunk):
+        dsg = grid_theta["dsg"]
+        w = grid_theta["dvol"]
+        if polarized:
+            dens = {"u": _dsg_dens(dsg, dm[0], ng),
+                    "d": _dsg_dens(dsg, dm[1], ng)}
+        else:
+            dens = _dsg_dens(dsg, dm, ng)
+        return jnp.sum(_edens_at(xc, dens, polarized, xcparams) * w)
     tab_keys = [k for k in ("ao", "ao_grad", "ao_lapl", "dvol")
                 if k in grid_theta]
     import jax as _jax
@@ -325,6 +334,57 @@ def _vxc_assemble(vbar, tabs):
     return V
 
 
+def _dsg_dens(dsg, dm, ng: int):
+    """GGA density info via the DS Pallas kernel (ops/pallas_xc)."""
+    from ..ops import pallas_xc
+    rho, gdot = pallas_xc.ds_dens_gga(dsg, dm, ng)
+    return {"rho": rho, "grad": gdot}
+
+
+def _dsg_assemble(dsg, vbar, ng: int, nao: int):
+    from ..ops import pallas_xc
+    wth, wtl = pallas_xc.build_wt(dsg, vbar["rho"], vbar.get("grad"), ng)
+    return pallas_xc.ds_vxc_gga(dsg, wth, wtl, nao)
+
+
+def _exc_vxc_dsg(xc, dm, grid_theta, polarized: bool, xcparams):
+    """One-pass (E_xc, raw V_xc) on the DS Pallas grid kernels: density
+    and assembly run as double-single VPU programs (~8-15x the XLA
+    emulated-f64 skinny GEMMs on the axon v5e); AD still runs only
+    through the pointwise functional chain. Forward-only (the dsg
+    planes never appear in traced gradient programs)."""
+    dsg = grid_theta["dsg"]
+    ng = grid_theta["dvol"].shape[0]
+    nao = grid_theta["ao"].shape[-1]
+    w = grid_theta["dvol"]
+    if polarized:
+        dens = {"u": _dsg_dens(dsg, dm[0], ng),
+                "d": _dsg_dens(dsg, dm[1], ng)}
+    else:
+        dens = _dsg_dens(dsg, dm, ng)
+
+    def esum(d):
+        return jnp.sum(_edens_at(xc, d, polarized, xcparams) * w)
+
+    exc, vbar = jax.value_and_grad(esum)(dens)
+    if polarized:
+        V = jnp.stack([_dsg_assemble(dsg, vbar["u"], ng, nao),
+                       _dsg_assemble(dsg, vbar["d"], ng, nao)])
+    else:
+        V = _dsg_assemble(dsg, vbar, ng, nao)
+    return exc, V
+
+
+def _dsg_usable(grid_theta, xc, dm, chunk):
+    """The DS grid path serves exactly: GGA family, f64 dm, unchunked
+    grid, planes present (integrity-probed at theta build)."""
+    if "dsg" not in grid_theta or xc.family != 2:
+        return False
+    if grid_theta["dvol"].shape[0] > chunk:
+        return False
+    return jnp.result_type(dm) == jnp.float64
+
+
 def _exc_vxc_tabs(xc, dm, tabs, polarized: bool, xcparams):
     """One-pass (E_xc partial, raw V_xc partial) over one set of tables."""
     dens = density_from_tables(tabs, dm, xc.family, polarized)
@@ -350,6 +410,9 @@ def exc_vxc(xc, dm, grid_theta, polarized: bool, xcparams=None):
     ng = grid_theta["dvol"].shape[0]
     nao = grid_theta["ao"].shape[-1]
     chunk = max(65536, XC_CHUNK_ELEMS // max(nao, 1))
+    if _dsg_usable(grid_theta, xc, dm, chunk):
+        exc, V = _exc_vxc_dsg(xc, dm, grid_theta, polarized, xcparams)
+        return exc, 0.5 * (V + jnp.swapaxes(V, -1, -2))
     tab_keys = [k for k in ("ao", "ao_grad", "ao_lapl", "dvol")
                 if k in grid_theta]
     if ng <= chunk:
