@@ -181,8 +181,7 @@ def ds_dens_gga(planes, dm, ng: int, *, interpret=None):
     nao = dm.shape[0]
     dh, d1, d2, dl = _dm_splits(dm, P)
 
-    def kernel(aoh, aol, agh, agl, dmh, dm1, dm2, dml,
-               rh_ref, rl_ref, g0h, g0l, g1h, g1l, g2h, g2l, acc):
+    def kernel(aoh, aol, agh, agl, dmh, dm1, dm2, dml, out_ref, acc):
         acc[:] = jnp.zeros_like(acc)
         sub = jax.lax.broadcasted_iota(i32, (P, 128), 0)
         lane = jax.lax.broadcasted_iota(i32, (P, 128), 1)
@@ -223,8 +222,7 @@ def ds_dens_gga(planes, dm, ng: int, *, interpret=None):
         ah = aoh[:]
         al = aol[:]
         t1, t2 = _dekker(ah)
-        outs = [(rh_ref, rl_ref), (g0h, g0l), (g1h, g1l), (g2h, g2l)]
-        for slot, (oh, ol) in enumerate(outs):
+        for slot in range(4):
             bs = acc[2 * slot]
             be = acc[2 * slot + 1]
             b1, b2 = _dekker(bs)
@@ -248,8 +246,10 @@ def ds_dens_gga(planes, dm, ng: int, *, interpret=None):
                 err = (aa - (z - bp)) + (bb - bp)
                 s = z
                 c = c[:half] + c[half:2 * half] + err
-            oh[:] = s
-            ol[:] = c
+            # rows of the packed (8, GBLK) output block:
+            # [rho_h, rho_l, g0h, g0l, g1h, g1l, g2h, g2l]
+            out_ref[2 * slot:2 * slot + 1, :] = s
+            out_ref[2 * slot + 1:2 * slot + 2, :] = c
 
     outs = pl.pallas_call(
         kernel,
@@ -265,16 +265,16 @@ def ds_dens_gga(planes, dm, ng: int, *, interpret=None):
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec((P, 128), lambda g: (i32(0), i32(0)),
                           memory_space=pltpu.VMEM)] * 4,
-        out_specs=[pl.BlockSpec((1, GBLK), lambda g: (g, i32(0)),
-                                memory_space=pltpu.VMEM)] * 8,
-        out_shape=[jax.ShapeDtypeStruct((NG, GBLK), f32)] * 8,
+        out_specs=pl.BlockSpec((8, GBLK), lambda g: (i32(0), g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Gpad), f32),
         scratch_shapes=[pltpu.VMEM((8, P, GBLK), f32)],
         interpret=interpret,
     )(planes["aoTh"], planes["aoTl"], planes["agTh"], planes["agTl"],
       dh, d1, d2, dl)
 
     def fold(h, l):
-        return (h.astype(f64) + l.astype(f64)).reshape(Gpad)[:ng]
+        return (h.astype(f64) + l.astype(f64))[:ng]
 
     rho = fold(outs[0], outs[1])
     gdot = 2.0 * jnp.stack([fold(outs[2], outs[3]),

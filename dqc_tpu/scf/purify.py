@@ -100,13 +100,17 @@ def fock_to_dm_purify(fock, X, keep, occ, iters: int = None):
     if iters is None:
         # 72 gave a measured 9.6e-11 device-DIIS floor on benzene/def2-SVP
         # but the in-graph DIIS crawled below ~1e-8 (9 extra iterations
-        # for a factor 2, bench r4c) — consistent with residual frontier
-        # noise; 96 still stalled the DS-kernel map's DIIS below 1e-7
-        # (15-it trajectory, r5 DQC_TPU_DIIS_TRACE); 160 restores a
-        # clean handoff (device exit 4.3e-9, host verify 4.1e-9 at it=0)
-        # at ~3 ms per DIIS iteration of extra matmuls.
+        # for a factor 2, bench r4c); with the DS J/K kernel alone, 96
+        # stalled the DIIS below 1e-7 and 160 cured it (r5 session 1).
+        # With the FULL DS hot loop (pallas J/K + pallas grid-XC,
+        # ops/pallas_xc) the balance flipped back: measured head-to-head
+        # on the live v5e (bench r5 session 2), 160 inflates the f32
+        # phase (21 its -> 4.3e-5) and breaks the handoff (device exit
+        # 5.3e-9, host verifier 3.3e-8 -> 3 polish iterations), while 96
+        # gives f32 15 its -> 2.7e-5, f64 19 its -> 7.7e-9, host verify
+        # PASS at it=0: steady 2.33 s vs 3.81 s.
         import os
-        iters = int(os.environ.get("DQC_TPU_PURIFY_ITERS", "160"))
+        iters = int(os.environ.get("DQC_TPU_PURIFY_ITERS", "96"))
     fp = jnp.einsum("im,...ij,jn->...mn", X, fock, X)
     diag0 = jnp.diagonal(fp, axis1=-2, axis2=-1)
     off0 = jnp.sum(jnp.abs(fp), axis=-1) - jnp.abs(diag0)
