@@ -864,16 +864,20 @@ class SCF_QCCalc:
         # device floors: polished f64 eigh bottoms out ~1e-9; don't let
         # the while_loop spin to maxiter against an unreachable tol —
         # the stall guard (diis_patience) exits on the best iterate.
-        # The purify f64 phase targets tol/2 (floor 9.6e-11 is far
-        # below): the host LAPACK verifier reads the handoff ~1.2-2.4x
-        # above the device's own metric (purify-vs-eigh frontier
-        # differences), so exiting exactly AT tol re-burns 2 host
-        # iterations landing just above it (measured 1.099e-8 at it=0
-        # from a 9.6e-9 device exit, tol 1e-8).
+        # The purify f64 phase used to target tol/2 because the host
+        # LAPACK verifier read the handoff 1.2-2.4x above the device
+        # metric (r3, pre-dual-return handoff); with the pair-consistent
+        # dual return + the DS kernel maps the verifier now reads BELOW
+        # the device exit (r5s2 trace: device 7.7e-9 -> host 5.3e-9),
+        # while the purify-96 DIIS noise floor sits at ~1e-8 — so a
+        # sub-tol target just burns the full patience window against an
+        # unreachable tol (measured: best 7.7e-9 at it=10, then 8 bounce
+        # iterations at 1.4-7e-8 before the stall exit; 0.62 s wasted).
+        # Target 0.8*tol and cap the stall patience instead.
         if mixed:
             tol_dev = tol
         elif purify:
-            tol_dev = max(0.5 * tol, 2e-10)
+            tol_dev = max(0.8 * tol, 2e-10)
         else:
             tol_dev = max(tol, 1e-9)
         has_fc = fcorr is not None
@@ -881,8 +885,15 @@ class SCF_QCCalc:
                purify, has_fc)
         fn = cache.get(key)
         if fn is None:
+            # patience 5 (was 8) for the f64 phases: when the purify
+            # DIIS floor sits just above tol_dev the stall window is
+            # pure waste — best-iterate makes an early exit benign (the
+            # host verifier polishes from the best pair). The mixed f32
+            # warm phase keeps 8: its floor-bounce iterations cost
+            # ~14 ms and occasionally land a 1.5x better handoff.
             opts = self.opts._replace(tol=tol_dev, maxiter=maxiter,
-                                      mixed=False, diis_patience=8)
+                                      mixed=False,
+                                      diis_patience=8 if mixed else 5)
             if purify:
                 from .purify import fock_to_dm_purify
 
