@@ -136,3 +136,14 @@ def test_exc_vxc_dsg_integration(monkeypatch):
         < 1e-5 * max(abs(float(exc_ref)), 1.0)
     np.testing.assert_allclose(np.asarray(v_ds), np.asarray(v_ref),
                                atol=1e-5 * float(jnp.abs(v_ref).max()))
+
+    # polarized path: two per-spin kernel passes through the same planes
+    dmp = jnp.stack([dm * 0.6, dm * 0.4])
+    excp_ref = integrate.exc_energy(xc, dmp, tabs, True)
+    vp_ref = integrate.vxc_matrix(xc, dmp, tabs, True)
+    excp_ds = integrate.exc_energy(xc, dmp, tabs_ds, True)
+    vp_ds = integrate.vxc_matrix(xc, dmp, tabs_ds, True)
+    assert abs(float(excp_ds) - float(excp_ref)) \
+        < 1e-5 * max(abs(float(excp_ref)), 1.0)
+    np.testing.assert_allclose(np.asarray(vp_ds), np.asarray(vp_ref),
+                               atol=1e-5 * float(jnp.abs(vp_ref).max()))
