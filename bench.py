@@ -41,6 +41,22 @@ import sys
 import threading
 import time
 
+# some VMs ship the jax environment only in /opt/venv (the bare
+# interpreter on PATH has no jax): re-exec into it before anything else.
+# NOTE: venv pythons are symlinks to the base binary — venv-ness lives
+# in the invoked PATH (pyvenv.cfg lookup), so compare paths, not
+# realpaths, and guard the loop with an env flag.
+try:
+    import importlib.util as _ilu
+    if _ilu.find_spec("jax") is None \
+            and os.environ.get("DQC_TPU_VENV_REEXEC") is None:
+        _alt = "/opt/venv/bin/python"
+        if os.path.exists(_alt) and sys.executable != _alt:
+            os.execve(_alt, [_alt] + sys.argv,
+                      dict(os.environ, DQC_TPU_VENV_REEXEC="1"))
+except Exception:  # noqa: BLE001 — best-effort guard
+    pass
+
 # glibc munmaps large buffers on free, and this VM's page-fault path costs
 # ~100 s/GB of first touch — every large numpy/host temp would pay it
 # again. Keep big allocations in the reusable heap (measured: 21.5 s first
